@@ -1,0 +1,88 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic, splittable change-event generator.
+ *
+ * Modeled on the reference's deterministic test source
+ * (cdcsdk-engine/src/main/java/io/debezium/connector/simple/SimpleSourceConnector.java:107-215
+ * — same records in same order on every run, resume skips `id <= lastId`),
+ * but built for 10^10 scale: every column is a pure function of the row index
+ * (`spark.range`), so any LSN range can be (re)generated on any executor with
+ * no state and no materialized input. This is what makes crash-replay and the
+ * two-cluster-size scaling runs use byte-identical input.
+ *
+ * Skew: a configurable fraction of events lands on a small hot-key set that
+ * maps to a handful of hot repos (Zipf-ish head), exercising the north rule's
+ * salting / AQE-skew requirements.
+ */
+final case class GenConfig(
+    numKeys: Long = 1L << 20,
+    hotKeys: Long = 64,          // hot head of the key space
+    hotFraction: Int = 20,       // percent of events hitting the hot head
+    filesPerRepo: Long = 512,    // key -> (repo = key / filesPerRepo, path = key % filesPerRepo)
+    snapshotLsn: Long = 0,       // events with lsn < snapshotLsn are op='r' (initial snapshot)
+    deletePct: Int = 8,          // of non-snapshot events: % deletes
+    insertPct: Int = 12,         // % explicit inserts ('c'); rest are updates ('u')
+    seed: Long = 42L
+)
+
+object EventGen {
+
+  private val langs = Array("scala", "java", "py", "go", "rs", "c", "cpp", "js")
+
+  /** Change events for lsn in [lo, hi). Columns follow Model.eventSchemaV0.
+    * `schemaId` is constant per call; the engine unions ranges generated at
+    * different schema versions to exercise evolution. */
+  def events(spark: SparkSession, lo: Long, hi: Long, cfg: GenConfig = GenConfig(),
+             schemaId: Int = 0, numSlices: Int = 0): DataFrame = {
+    val slices = if (numSlices > 0) numSlices else spark.sparkContext.defaultParallelism
+    val base = spark.range(lo, hi, 1, slices).toDF("lsn")
+    val h = (salt: Int) => xxhash64(col("lsn"), lit(cfg.seed + salt))
+
+    val isHot = pmod(h(1), lit(100)) < lit(cfg.hotFraction)
+    val key = when(isHot, pmod(h(2), lit(cfg.hotKeys)))
+      .otherwise(pmod(h(2), lit(cfg.numKeys)))
+    val opRoll = pmod(h(3), lit(100))
+    val op = when(col("lsn") < lit(cfg.snapshotLsn), lit("r"))
+      .when(opRoll < lit(cfg.deletePct), lit("d"))
+      .when(opRoll < lit(cfg.deletePct + cfg.insertPct), lit("c"))
+      .otherwise(lit("u"))
+
+    val repo = concat(lit("repo-"), (col("key") / lit(cfg.filesPerRepo)).cast("long"))
+    val path = concat(lit("src/f"), pmod(col("key"), lit(cfg.filesPerRepo)), lit(".scala"))
+
+    base
+      .withColumn("key", key)
+      .withColumn("op", op)
+      .withColumn("repo", repo)
+      .withColumn("path", path)
+      // after-image columns are null on delete (Debezium: after == null for op='d')
+      .withColumn("commit",
+        when(col("op") === "d", lit(null: String))
+          .otherwise(lpad(hex(h(4)), 16, "0")))
+      .withColumn("lang",
+        when(col("op") === "d", lit(null: String))
+          .otherwise(element_at(lit(langs), (pmod(h(5), lit(langs.length)) + 1).cast("int"))))
+      .withColumn("content",
+        when(col("op") === "d", lit(null: String))
+          .otherwise(concat(
+            lit("content:"), col("repo"), lit(":"), col("path"), lit(":lsn="), col("lsn"),
+            lit(":"), sha2(concat(col("lsn").cast("string"), lit(":"), lit(cfg.seed)), 256))))
+      .withColumn("schemaId", lit(schemaId))
+      .withColumn("ts_ms", lit(1704067200000L) + col("lsn") * lit(10L))
+      .drop("key")
+  }
+
+  /** The expected final table state ("reference final state") after replaying
+    * lsn in [lo, hi): per-key last-wins by LSN, deletes remove the key. This is
+    * the oracle the engine's materialized table is sha256-compared against. */
+  def finalState(spark: SparkSession, lo: Long, hi: Long, cfg: GenConfig = GenConfig()): DataFrame = {
+    val ev = events(spark, lo, hi, cfg)
+    Dedup.lastPerKey(ev, Model.keyCols, "lsn")
+      .filter(col("op") =!= "d")
+      .select("repo", "path", "commit", "lang", "content")
+  }
+}

@@ -1,0 +1,277 @@
+package graft.cdc
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import java.nio.charset.StandardCharsets
+
+/**
+ * Keyed snapshot table with Iceberg-style snapshot isolation, built from
+ * first principles on parquet + an atomically-swapped JSON manifest
+ * (no Iceberg jar exists in this environment — see SURVEY.md §7.0).
+ *
+ * Layout:
+ * {{{
+ *   <root>/manifest.json            # THE commit point (atomic rename)
+ *   <root>/data/snap-<epoch>/bucket=<b>/part-*.parquet
+ *   <root>/lineage/epoch=<e>/part-... .parquet
+ * }}}
+ *
+ * Rows are hash-bucketed by key: `bucket = pmod(hash(repo, path), numBuckets)`.
+ * A MERGE epoch rewrites ONLY the buckets its delta touches (copy-on-write at
+ * bucket granularity); untouched buckets keep pointing at their old snapshot
+ * directory via the manifest. At 10^10-event scale this is the difference
+ * between rewriting a 100 TB table per epoch and rewriting only the deltas'
+ * working set.
+ *
+ * Exactly-once: the manifest embeds the commit ledger — per-bucket
+ * `lastEpoch` (partition-level fencing, north rule's (partitionId, epochId))
+ * plus the set of committed epoch ids. Data files are written first, the
+ * manifest rename is the single atomic decision (same contract as the
+ * reference's only transactional sink, the Pravega txn consumer:
+ * cdcsdk-server-pravega/.../PravegaChangeConsumer.java:117-167 — stage all,
+ * commit once at markBatchFinished). A crash between data write and manifest
+ * rename leaves orphan data that the deterministic re-run of the same epoch
+ * simply overwrites; a re-delivered committed epoch is fenced to a no-op.
+ *
+ * Schema evolution: the manifest records a schema registry (id -> DDL json)
+ * and each bucket's schema version; readers align every bucket group to the
+ * current schema (SchemaEvolution.alignTo) so old snapshots remain readable
+ * after column add / type widen.
+ */
+class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: Int) {
+  import SnapshotTable._
+
+  private val hconf = spark.sparkContext.hadoopConfiguration
+  private def fs: FileSystem = new Path(root).getFileSystem(hconf)
+
+  // ---- manifest ----------------------------------------------------------
+
+  def manifestPath = new Path(root, "manifest.json")
+
+  def loadManifest(): Option[Manifest] = {
+    val p = manifestPath
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(mapper.readValue(in: java.io.InputStream, classOf[Manifest]))
+      finally in.close()
+    }
+  }
+
+  /** Write manifest via temp file + rename: the atomic commit point. */
+  private def commitManifest(m: Manifest): Unit = {
+    val tmp = new Path(root, s"manifest.json.tmp-${m.version}")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
+    finally out.close()
+    if (fs.exists(manifestPath)) fs.delete(manifestPath, false)
+    if (!fs.rename(tmp, manifestPath))
+      throw new IllegalStateException(s"manifest commit failed for version ${m.version}")
+  }
+
+  def currentSchema(): StructType = loadManifest() match {
+    case Some(m) => DataType.fromJson(m.schemas(m.currentSchemaId.toString)).asInstanceOf[StructType]
+    case None    => Model.tableSchemaV0
+  }
+
+  def isCommitted(epochId: Long): Boolean =
+    loadManifest().exists(_.epochs.contains(epochId))
+
+  def lastCommittedEpoch: Option[Long] = loadManifest().flatMap(m => m.epochs.sorted.lastOption)
+
+  /** Highest LSN applied to any bucket — the resume point (reference model:
+    * offset restore skipping `id <= lastId`, SimpleSourceConnector.java:143-157). */
+  def lastLsn: Long = loadManifest() match {
+    case Some(m) if m.buckets.nonEmpty => m.buckets.values.map(_.lastLsn).max
+    case _ => -1L
+  }
+
+  // ---- read --------------------------------------------------------------
+
+  def bucketCol: org.apache.spark.sql.Column =
+    pmod(hash(col("repo"), col("path")), lit(numBuckets))
+
+  /** Read the current snapshot (all buckets), aligned to the current schema,
+    * with the `bucket` partition column present. */
+  def read(): DataFrame = readBuckets(None)
+
+  /** Read only the given buckets (partition pruning: each bucket is a
+    * distinct directory, so unread buckets cost zero IO). */
+  def readBuckets(only: Option[Set[Int]]): DataFrame = {
+    val schema = currentSchema()
+    loadManifest() match {
+      case None => emptyDf(schema)
+      case Some(m) =>
+        val wanted = m.buckets.toSeq
+          .map { case (k, v) => (k.toInt, v) }
+          .filter { case (b, _) => only.forall(_.contains(b)) }
+        if (wanted.isEmpty) emptyDf(schema)
+        else {
+          // group by (snapshot dir, schema version): one scan per group, each
+          // read with ITS OWN written schema then cast up to the current one
+          val groups = wanted.groupBy { case (_, st) => (st.dir, st.schemaId) }
+          groups.toSeq.map { case ((dir, sid), entries) =>
+            val written = DataType.fromJson(m.schemas(sid.toString)).asInstanceOf[StructType]
+            val paths = entries.map { case (b, _) => s"$root/$dir/bucket=$b" }
+            val df = spark.read
+              .schema(written)
+              .option("basePath", s"$root/$dir")
+              .parquet(paths: _*)
+            SchemaEvolution.alignTo(df, schema).withColumn("bucket", bucketCol)
+          }.reduce(_ unionByName _)
+        }
+    }
+  }
+
+  private def emptyDf(schema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .withColumn("bucket", bucketCol)
+
+  // ---- merge (the exactly-once upsert/delete sink) ------------------------
+
+  /**
+   * Apply one deduped delta as a MERGE: upsert rows with op in (c,u,r),
+   * delete rows with op = 'd'. `delta` must be one-row-per-key (run
+   * Dedup.lastPerKey first) and carry `op` + the key/payload columns.
+   *
+   * Join strategy: the surviving-rows side is `current LEFT ANTI JOIN
+   * deltaKeys` — with a small delta Spark broadcasts the key set, so the
+   * 100 TB snapshot side is NEVER shuffled; upserts are a cheap union after.
+   * This beats a full-outer join (which would shuffle both sides) and is the
+   * scale-critical choice.
+   *
+   * Returns per-bucket merge stats. Idempotent: buckets whose ledger entry
+   * already covers `epochId` are skipped; re-running a committed epoch is a
+   * no-op (fencing on (bucket, epochId)).
+   */
+  def merge(delta: DataFrame, epochId: Long, broadcastThresholdRows: Long = 4_000_000L): MergeResult = {
+    val prev = loadManifest()
+    if (prev.exists(_.epochs.contains(epochId)))
+      return MergeResult(epochId, applied = false, Seq.empty)
+
+    val tableSchema = currentSchema()
+    val eventDataSchema = StructType(delta.schema.fields
+      .filter(f => !Set("lsn", "op", "schemaId", "ts_ms", "bucket", "_salt").contains(f.name)))
+    val mergedSchema = SchemaEvolution.merge(tableSchema, eventDataSchema)
+    val schemaChanged = mergedSchema != tableSchema
+
+    val keyed = delta.withColumn("bucket", bucketCol)
+    // cache: used for bucket discovery, count, anti-join AND upserts
+    keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deltaRows = keyed.count()
+      val affected = keyed.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+      val fenced = prev.toSeq.flatMap(_.buckets.toSeq)
+        .filter { case (b, st) => affected.contains(b.toInt) && st.lastEpoch >= epochId }
+        .map(_._1.toInt).toSet
+      val toMerge = affected -- fenced
+      if (toMerge.isEmpty) return MergeResult(epochId, applied = false, Seq.empty)
+
+      val current = SchemaEvolution.alignTo(readBuckets(Some(toMerge)), mergedSchema)
+        .withColumn("bucket", bucketCol)
+      val deltaWithOp = keyed.filter(col("bucket").isInCollection(toMerge))
+
+      val keys = deltaWithOp.select(Model.keyCols.map(col): _*)
+      val keysMaybeBroadcast = if (deltaRows <= broadcastThresholdRows) broadcast(keys) else keys
+
+      val survivors = current.join(keysMaybeBroadcast, Model.keyCols, "left_anti")
+      val upserts = SchemaEvolution.alignTo(
+          deltaWithOp.filter(col("op") =!= "d"), mergedSchema)
+        .withColumn("bucket", bucketCol)
+
+      val out = survivors.select((mergedSchema.fieldNames.toSeq :+ "bucket").map(col): _*)
+        .unionByName(upserts.select((mergedSchema.fieldNames.toSeq :+ "bucket").map(col): _*))
+
+      val snapDir = s"data/snap-$epochId"
+      out
+        .repartition(math.max(1, toMerge.size), col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(s"$root/$snapDir")
+
+      // per-bucket stats for the ledger (maxLsn per bucket from the delta)
+      val stats = deltaWithOp.groupBy("bucket")
+        .agg(max("lsn").as("maxLsn"), count(lit(1)).as("rows"))
+        .collect()
+        .map(r => BucketMergeStat(r.getInt(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+
+      // build + commit the new manifest (single atomic rename = txn commit)
+      val schemas0 = prev.map(_.schemas).getOrElse(
+        Map("0" -> Model.tableSchemaV0.json))
+      val (schemas, schemaId) =
+        if (!schemaChanged) (schemas0, prev.map(_.currentSchemaId).getOrElse(0))
+        else {
+          val next = schemas0.keys.map(_.toInt).max + 1
+          (schemas0 + (next.toString -> mergedSchema.json), next)
+        }
+      val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[String, BucketState])
+      val newBuckets = prevBuckets ++ stats.map { s =>
+        s.bucket.toString -> BucketState(snapDir, epochId, s.maxLsn, schemaId)
+      }.toMap
+      val m = Manifest(
+        version = prev.map(_.version + 1).getOrElse(0L),
+        numBuckets = numBuckets,
+        schemas = schemas,
+        currentSchemaId = schemaId,
+        buckets = newBuckets,
+        epochs = (prev.map(_.epochs).getOrElse(Seq.empty) :+ epochId).distinct
+      )
+      commitManifest(m)
+      MergeResult(epochId, applied = true, stats)
+    } finally keyed.unpersist()
+  }
+
+  /** Delete snapshot directories no longer referenced by the manifest. */
+  def vacuum(): Int = loadManifest() match {
+    case None => 0
+    case Some(m) =>
+      val live = m.buckets.values.map(_.dir).toSet
+      val dataDir = new Path(root, "data")
+      if (!fs.exists(dataDir)) 0
+      else {
+        val dead = fs.listStatus(dataDir).map(_.getPath)
+          .filter(p => !live.contains(s"data/${p.getName}"))
+        dead.foreach(p => fs.delete(p, true))
+        dead.length
+      }
+  }
+
+  /** Deterministic per-row digest for final-state verification:
+    * sha256 over the full row (north rule: per-row content sha256 equality). */
+  def rowDigests(): DataFrame =
+    read().select(
+      col("repo"), col("path"),
+      sha2(coalesce(col("content"), lit("")), 256).as("content_sha"))
+}
+
+object SnapshotTable {
+  private[cdc] val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m
+  }
+
+  /** Per-bucket commit-ledger entry: which snapshot dir holds the bucket,
+    * the fencing epoch, resume LSN and schema version. */
+  case class BucketState(dir: String, lastEpoch: Long, lastLsn: Long, schemaId: Int)
+
+  case class Manifest(
+      version: Long,
+      numBuckets: Int,
+      schemas: Map[String, String],   // schemaId -> StructType.json
+      currentSchemaId: Int,
+      buckets: Map[String, BucketState],
+      // jackson-module-scala erases Seq[Long] to boxed Integer for small
+      // values; contentAs pins the element type (fencing depends on it)
+      @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
+      epochs: Seq[Long])
+
+  case class BucketMergeStat(bucket: Int, maxLsn: Long, rows: Long)
+  case class MergeResult(epochId: Long, applied: Boolean, stats: Seq[BucketMergeStat])
+}

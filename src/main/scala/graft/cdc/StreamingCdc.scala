@@ -1,0 +1,39 @@
+package graft.cdc
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Structured Streaming front-end: tail a directory of change-event parquet
+ * files (the stand-in for a binlog/WAL tail — the reference's
+ * `task.poll()` loop, MTEngine.java:879-934) and apply each micro-batch
+ * through the same exactly-once epoch path as the batch engine.
+ *
+ * Offsets: Spark's streaming checkpoint stores WHICH files each micro-batch
+ * contained; the table manifest's (bucket, epochId) ledger makes a
+ * re-delivered batch (checkpoint replay after crash) a no-op. Together these
+ * give end-to-end exactly-once — the strengthened version of the reference's
+ * at-least-once `markProcessed`/offset-flush contract
+ * (MTEngine.java:1012-1138).
+ */
+object StreamingCdc {
+
+  /** Start the stream. Caller stops the query (tests use
+    * `processAllAvailable()` for deterministic drains). */
+  def start(spark: SparkSession, engine: CdcEngine, eventsDir: String,
+            checkpointDir: String, maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val stream = spark.readStream
+      .schema(Model.eventSchemaV0)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(eventsDir)
+
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+        engine.applyEpoch(batch, epochId)
+        ()
+      }
+      .start()
+  }
+}
