@@ -115,15 +115,22 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
           // group by (snapshot dir, schema version): one scan per group, each
           // read with ITS OWN written schema then cast up to the current one
           val groups = wanted.groupBy { case (_, st) => (st.dir, st.schemaId) }
-          groups.toSeq.map { case ((dir, sid), entries) =>
+          val dfs = groups.toSeq.flatMap { case ((dir, sid), entries) =>
             val written = DataType.fromJson(m.schemas(sid.toString)).asInstanceOf[StructType]
+            // a bucket whose rows were all deleted has a ledger entry but no
+            // files (partitionBy writes nothing for an empty partition)
             val paths = entries.map { case (b, _) => s"$root/$dir/bucket=$b" }
-            val df = spark.read
-              .schema(written)
-              .option("basePath", s"$root/$dir")
-              .parquet(paths: _*)
-            SchemaEvolution.alignTo(df, schema).withColumn("bucket", bucketCol)
-          }.reduce(_ unionByName _)
+              .filter(p => fs.exists(new Path(p)))
+            if (paths.isEmpty) None
+            else {
+              val df = spark.read
+                .schema(written)
+                .option("basePath", s"$root/$dir")
+                .parquet(paths: _*)
+              Some(SchemaEvolution.alignTo(df, schema).withColumn("bucket", bucketCol))
+            }
+          }
+          if (dfs.isEmpty) emptyDf(schema) else dfs.reduce(_ unionByName _)
         }
     }
   }
