@@ -1,0 +1,184 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * The reference's dataflow operators (SURVEY.md §2), each exposed as a named
+ * DataFrame query over the driver's `events` table with a DuckDB-equivalent
+ * oracle. The events table stands in for the change stream: `event_id` is
+ * the LSN, `user_id` the key, `event_type` the op/route, `props` the payload.
+ *
+ * Every query ends in a total ORDER BY so the Spark parquet dump and the
+ * DuckDB result are row-identical, and float arithmetic is avoided or made
+ * exact (integer sums / single divisions of exact operands) so value hashes
+ * match bit-for-bit.
+ */
+object CdcQueries {
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // N1 max-LSN dedup, window formulation (Window.partitionBy.orderBy + row_number)
+    "cdc_dedup_last_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id").desc)
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("last_lsn"),
+          col("event_type").as("last_type"), col("value").as("last_value"))
+        .orderBy("user_id")
+    }),
+
+    // N1 max-LSN dedup, aggregation formulation (partial-agg friendly: the
+    // engine's hot path — map-side combine collapses hot keys pre-shuffle)
+    "cdc_dedup_last_maxby" -> ((s, d) =>
+      ev(s, d).groupBy(col("user_id"))
+        .agg(
+          max(col("event_id")).as("last_lsn"),
+          max_by(col("event_type"), col("event_id")).as("last_type"),
+          max_by(col("value"), col("event_id")).as("last_value"))
+        .orderBy("user_id")),
+
+    // A3 offset max-tracking: last offset per source-partition wins
+    "cdc_offset_max" -> ((s, d) =>
+      ev(s, d).groupBy(col("event_type"))
+        .agg(max(col("event_id")).as("last_offset"), count(lit(1)).as("n_records"))
+        .orderBy("event_type")),
+
+    // A2/N-lineage: per-partition (partition, firstLSN, lastLSN, rowCount, bytes)
+    "cdc_lineage_agg" -> ((s, d) =>
+      ev(s, d).withColumn("partition", pmod(col("event_id"), lit(16)))
+        .groupBy(col("partition"))
+        .agg(
+          min(col("event_id")).as("firstLSN"),
+          max(col("event_id")).as("lastLSN"),
+          count(lit(1)).as("rowCount"),
+          sum(length(coalesce(col("props"), lit("")))).as("bytes"))
+        .orderBy("partition")),
+
+    // T3 filter + T4 RegexRouter: drop-by-predicate then regex-rewrite the destination
+    "cdc_route_filter" -> ((s, d) =>
+      ev(s, d).filter(col("event_type") =!= "error")
+        .select(col("event_id"),
+          concat(lit("stream."), regexp_replace(col("event_type"), "(e|i)", "X"))
+            .as("destination"))
+        .orderBy("event_id")),
+
+    // T7 tombstone suppression + T8 null-key surrogate
+    "cdc_tombstone_nullkey" -> ((s, d) =>
+      ev(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"),
+          coalesce(nullif(col("event_type"), lit("click")), lit("default")).as("part_key"))
+        .orderBy("event_id")),
+
+    // T2 FLATTEN / ExtractNewRecordState: project the payload out of the envelope
+    "cdc_flatten_payload" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("event_type").as("op_hint"))
+        .orderBy("event_id")),
+
+    // N2 keyed MERGE upsert/delete: delta (odd LSNs) applied over snapshot
+    // (even LSNs); event_type='error' in the delta acts as the delete op
+    "cdc_merge_upsert" -> ((s, d) => {
+      val e = ev(s, d)
+      val snap = e.filter(pmod(col("event_id"), lit(2)) === 0)
+        .groupBy(col("user_id")).agg(
+          max(col("event_id")).as("s_lsn"),
+          max_by(col("value"), col("event_id")).as("s_value"))
+      val delta = e.filter(pmod(col("event_id"), lit(2)) === 1)
+        .groupBy(col("user_id")).agg(
+          max(col("event_id")).as("d_lsn"),
+          max_by(col("value"), col("event_id")).as("d_value"),
+          max_by(col("event_type"), col("event_id")).as("d_op"))
+      snap.join(delta, Seq("user_id"), "full_outer")
+        .filter(col("d_op").isNull || col("d_op") =!= "error") // delete fence
+        .select(col("user_id"),
+          coalesce(col("d_lsn"), col("s_lsn")).as("lsn"),
+          coalesce(col("d_value"), col("s_value")).as("value"))
+        .orderBy("user_id")
+    }),
+
+    // S7 snapshot ∪ stream union with LSN watermark separating the phases
+    "cdc_snapshot_union" -> ((s, d) => {
+      val e = ev(s, d)
+      val snapshot = e.filter(col("event_id") < 100)
+        .select(col("user_id"), col("event_id"), lit("r").as("op"), col("value"))
+      val stream = e.filter(col("event_id") >= 100)
+        .select(col("user_id"), col("event_id"), lit("u").as("op"), col("value"))
+      val all = snapshot.unionByName(stream)
+      all.groupBy(col("user_id"))
+        .agg(max(col("event_id")).as("last_lsn"),
+          max_by(col("op"), col("event_id")).as("last_op"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    // F5 time-pattern path rendering ({YEAR}/{MONTH}/... object naming,
+    // deterministic — no UUID, see SURVEY §7.3)
+    "cdc_time_path" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+          concat(
+            year(col("ts")).cast("string"), lit("/"),
+            lpad(month(col("ts")).cast("string"), 2, "0"), lit("/"),
+            lpad(dayofmonth(col("ts")).cast("string"), 2, "0"), lit("/"),
+            lpad(hour(col("ts")).cast("string"), 2, "0"), lit("/"),
+            col("event_type")).as("path"))
+        .orderBy("event_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_dedup_last_window" ->
+      """SELECT user_id, event_id AS last_lsn, event_type AS last_type, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "cdc_dedup_last_maxby" ->
+      """SELECT user_id, max(event_id) AS last_lsn,
+        |       arg_max(event_type, event_id) AS last_type,
+        |       arg_max(value, event_id) AS last_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "cdc_offset_max" ->
+      """SELECT event_type, max(event_id) AS last_offset, count(*) AS n_records
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "cdc_lineage_agg" ->
+      """SELECT event_id % 16 AS partition, min(event_id) AS firstLSN, max(event_id) AS lastLSN,
+        |       count(*) AS rowCount, CAST(sum(length(coalesce(props, ''))) AS BIGINT) AS bytes
+        |FROM events GROUP BY 1 ORDER BY partition""".stripMargin,
+    "cdc_route_filter" ->
+      """SELECT event_id, 'stream.' || regexp_replace(event_type, '(e|i)', 'X', 'g') AS destination
+        |FROM events WHERE event_type <> 'error' ORDER BY event_id""".stripMargin,
+    "cdc_tombstone_nullkey" ->
+      """SELECT event_id, coalesce(nullif(event_type, 'click'), 'default') AS part_key
+        |FROM events WHERE value IS NOT NULL ORDER BY event_id""".stripMargin,
+    "cdc_flatten_payload" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |       event_type AS op_hint
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_merge_upsert" ->
+      """WITH snap AS (
+        |  SELECT user_id, max(event_id) AS s_lsn, arg_max(value, event_id) AS s_value
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY user_id),
+        |delta AS (
+        |  SELECT user_id, max(event_id) AS d_lsn, arg_max(value, event_id) AS d_value,
+        |         arg_max(event_type, event_id) AS d_op
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY user_id)
+        |SELECT user_id, coalesce(d_lsn, s_lsn) AS lsn, coalesce(d_value, s_value) AS value
+        |FROM snap FULL OUTER JOIN delta USING (user_id)
+        |WHERE d_op IS NULL OR d_op <> 'error'
+        |ORDER BY user_id""".stripMargin,
+    "cdc_snapshot_union" ->
+      """WITH all_ev AS (
+        |  SELECT user_id, event_id, 'r' AS op, value FROM events WHERE event_id < 100
+        |  UNION ALL
+        |  SELECT user_id, event_id, 'u' AS op, value FROM events WHERE event_id >= 100)
+        |SELECT user_id, max(event_id) AS last_lsn, arg_max(op, event_id) AS last_op, count(*) AS n
+        |FROM all_ev GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "cdc_time_path" ->
+      """SELECT event_id,
+        |       CAST(year(ts) AS VARCHAR) || '/' || lpad(CAST(month(ts) AS VARCHAR), 2, '0')
+        |       || '/' || lpad(CAST(day(ts) AS VARCHAR), 2, '0')
+        |       || '/' || lpad(CAST(hour(ts) AS VARCHAR), 2, '0') || '/' || event_type AS path
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over the `embeddings` table (Array[Float], dim 64).
+ *
+ * Exactness strategy for the cross-engine oracle: embeddings are quantized
+ * to integer millis (CAST(round(e*1000) AS BIGINT)); integer dot products
+ * and squared norms are then EXACT (sums of ints < 2^53 are associative in
+ * double too), and the final cosine is a single sqrt+divide of identical
+ * exact operands — bit-identical in Spark and DuckDB, so top-k order (with
+ * id tie-break) matches perfectly.
+ *
+ * Scale path: [[queries]] exposes both the brute-force top-k (the baseline,
+ * O(Q·N·dim) — fine when Q is a small probe set, broadcast the queries) and
+ * a sign-LSH bucketed variant (candidates share a 16-bit hyperplane-sign
+ * signature; at 100 TB this turns all-pairs into per-bucket joins).
+ */
+object VectorOps {
+
+  /** quantized vector: array<bigint> of round(x*1000) */
+  private def quant(c: Column): Column =
+    transform(c, e => round(e.cast("double") * 1000).cast("long"))
+
+  private def dotq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def norm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+
+  /** deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * xxhash64 mapped to {-1, +1} (same trick is NOT needed in the oracle —
+    * the LSH variant is verified by rows-only check). */
+  private def planeSign(p: Int, i: Column): Column =
+    when(pmod(xxhash64(lit(p.toLong) * 131071L + i), lit(2)) === 0, lit(1L)).otherwise(lit(-1L))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force quantized-cosine top-5 for a probe set of queries
+    "emb_knn_brute" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), quant(col("embedding")).as("q"))
+      val probes = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("q").as("qv"))
+      val pairs = Tables.embeddings(s, d) // re-read: Catalyst prunes to needed cols
+        .select(col("vec_id").as("neighbor_id"), quant(col("embedding")).as("nv"))
+        .crossJoin(broadcast(probes))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("dot", dotq(col("qv"), col("nv")))
+        .withColumn("cos",
+          col("dot").cast("double") /
+            sqrt((norm2(col("qv")) * norm2(col("nv"))).cast("double")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // label-centroid similarity: top matching label per probe via exact
+    // integer mean-free dot against per-label summed vectors (IVF-style
+    // coarse quantization: the scale path routes probes to nearest list)
+    "emb_label_affinity" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), quant(col("embedding")).as("q"))
+      // per-label SUM vector (exact ints; centroid ordering == sum ordering
+      // when list sizes are equal, and affinity below normalizes anyway)
+      val sums = e.groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        array((0 until 64).map(i =>
+          sum(element_at(col("q"), i + 1)).as(s"s$i")): _*).as("sv"))
+      val probes = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("q").as("qv"))
+      val scored = probes.crossJoin(broadcast(sums))
+        .withColumn("dot", dotq(col("qv"), col("sv")))
+        .withColumn("aff",
+          col("dot").cast("double") /
+            sqrt((norm2(col("qv")) * norm2(col("sv"))).cast("double")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("aff").desc, col("label").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") === 1)
+        .select(col("query_id"), col("label").as("best_label"), col("dot"))
+        .orderBy("query_id")
+    }),
+
+    // banded sign-LSH ANN: 4 bands x 4 hyperplanes; a candidate matching the
+    // probe in ANY band is scored (OR-amplification: band hit prob for
+    // angle θ is (1-θ/π)^4 per band). At 100 TB this replaces the all-pairs
+    // cross join with B per-band-bucket joins. Rows-only check (xxhash64
+    // planes are engine-side); recall vs brute force asserted in VectorSpec.
+    "emb_lsh_ann" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), quant(col("embedding")).as("q"))
+      val bandCols = (0 until 4).map { band =>
+        (0 until 4).map { r =>
+          val p = band * 4 + r
+          val proj = aggregate(
+            zip_with(col("q"), sequence(lit(0), lit(63)),
+              (x, i) => x * planeSign(p, i)),
+            lit(0L), (acc, x) => acc + x)
+          when(proj >= 0, lit(1L << r)).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"band$band")
+      }
+      val withSig = e.select((col("vec_id") +: col("q") +: bandCols): _*)
+      // one row per (vector, band): bucket key = (band, signature)
+      val banded = withSig.select(col("vec_id"), col("q"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"), col(s"band$b").as("bsig"))): _*)).as("bb"))
+        .select(col("vec_id"), col("q"), col("bb.band"), col("bb.bsig"))
+      val probes = banded.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .select(col("vec_id").as("query_id"), col("q").as("qv"), col("band"), col("bsig"))
+      val pairs = banded
+        .select(col("vec_id").as("neighbor_id"), col("q").as("nv"), col("band"), col("bsig"))
+        .join(broadcast(probes), Seq("band", "bsig"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "nv")
+        .distinct() // a pair may collide in several bands
+        .withColumn("dot", dotq(col("qv"), col("nv")))
+        .withColumn("cos",
+          col("dot").cast("double") /
+            sqrt((norm2(col("qv")) * norm2(col("nv"))).cast("double")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id").asc)
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("dot"))
+        .orderBy("query_id", "rank")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "emb_knn_brute" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, e -> CAST(round(e * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |probes AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id % 50 = 0),
+        |pairs AS (
+        |  SELECT p.query_id, n.vec_id AS neighbor_id,
+        |         list_dot_product(p.qv, n.qv) AS dot,
+        |         list_dot_product(p.qv, n.qv) /
+        |           sqrt(1.0 * list_dot_product(p.qv, p.qv) * list_dot_product(n.qv, n.qv)) AS cos
+        |  FROM probes p, q n WHERE n.vec_id <> p.query_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM pairs)
+        |SELECT query_id, rank, neighbor_id, CAST(dot AS BIGINT) AS dot
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "emb_label_affinity" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, list_transform(embedding, e -> CAST(round(e * 1000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |persum AS (
+        |  SELECT label, r.range AS i, CAST(sum(qv[r.range]) AS BIGINT) AS s
+        |  FROM q CROSS JOIN range(1, 65) r GROUP BY label, r.range),
+        |sums AS (
+        |  SELECT label, list(s ORDER BY i) AS sv FROM persum GROUP BY label),
+        |probes AS (SELECT vec_id AS query_id, qv FROM q WHERE vec_id % 50 = 0),
+        |scored AS (
+        |  SELECT p.query_id, s.label,
+        |         list_dot_product(p.qv, s.sv) AS dot,
+        |         list_dot_product(p.qv, s.sv) /
+        |           sqrt(1.0 * list_dot_product(p.qv, p.qv) * list_dot_product(s.sv, s.sv)) AS aff
+        |  FROM probes p, sums s),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY aff DESC, label ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, label AS best_label, CAST(dot AS BIGINT) AS dot
+        |FROM ranked WHERE rank = 1 ORDER BY query_id""".stripMargin
+  )
+}
