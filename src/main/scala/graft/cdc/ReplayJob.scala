@@ -39,8 +39,10 @@ object ReplayJob {
 
     val gen = GenConfig(numKeys = numKeys, hotKeys = math.max(4, numKeys / 10000),
       snapshotLsn = numEvents / 10)
+    val bcast = sys.env.getOrElse("SPARK_GRAFT_BCAST", "4000000").toLong
     val table = new SnapshotTable(spark, tableRoot, buckets)
-    val engine = new CdcEngine(spark, table)
+    val engine = new CdcEngine(spark, table,
+      EngineConfig(numBuckets = buckets, broadcastThresholdRows = bcast))
 
     val t0 = System.nanoTime()
     val stats = engine.replayGenerated(0, numEvents, epochs, gen)
@@ -50,6 +52,8 @@ object ReplayJob {
     println(f"[replay] epochs=${stats.epochs} fenced=${stats.fencedEpochs} " +
       f"rowsApplied=${stats.rowsApplied} cumulativeRows=$rows cumulativeBytes=$bytes " +
       f"wall=${secs}%.1fs events/sec=${numEvents / math.max(secs, 1e-9)}%.0f")
+
+    if (sys.env.get("SPARK_GRAFT_NOVERIFY").contains("1")) { spark.stop(); return }
 
     // final-state verification: per-row sha256 vs the generator oracle
     val got = table.read().select(col("repo"), col("path"),

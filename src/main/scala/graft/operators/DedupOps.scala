@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.DotQ
 
 /**
  * Near-duplicate detection at training-data scale over `documents` /
@@ -92,6 +93,7 @@ object DedupOps {
     // threshold is calibrated to the synthetic embeddings, which are near-
     // orthogonal — real near-dup corpora would use ~0.95)
     "emb_near_dup" -> ((s, d) => {
+      DotQ.register(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
       val bandCols = (0 until 4).map { band =>
@@ -116,10 +118,9 @@ object DedupOps {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("a.q").as("qa"), col("b.q").as("qb"))
         .distinct()
-        .withColumn("dot", aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
-          lit(0L), (acc, x) => acc + x))
-        .withColumn("na", aggregate(transform(col("qa"), x => x * x), lit(0L), (acc, x) => acc + x))
-        .withColumn("nb", aggregate(transform(col("qb"), x => x * x), lit(0L), (acc, x) => acc + x))
+        .withColumn("dot", call_function("dot_q", col("qa"), col("qb")))
+        .withColumn("na", call_function("dot_q", col("qa"), col("qa")))
+        .withColumn("nb", call_function("dot_q", col("qb"), col("qb")))
         .withColumn("cos", col("dot").cast("double") / sqrt((col("na") * col("nb")).cast("double")))
         .filter(col("cos") >= 0.3)
         .select(col("vec_a"), col("vec_b"), col("dot"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.DotQ
 
 /**
  * Similarity search over the `embeddings` table (Array[Float], dim 64).
@@ -24,11 +25,11 @@ object VectorOps {
   private def quant(c: Column): Column =
     transform(c, e => round(e.cast("double") * 1000).cast("long"))
 
-  private def dotq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  // codegen'd native expression (graft.functions.DotQ): one fused primitive
+  // loop instead of zip_with+aggregate lambda interpretation per pair
+  private def dotq(a: Column, b: Column): Column = call_function("dot_q", a, b)
 
-  private def norm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0L), (acc, x) => acc + x)
+  private def norm2(a: Column): Column = call_function("dot_q", a, a)
 
   /** deterministic pseudo-random hyperplane component for (plane p, dim i):
     * xxhash64 mapped to {-1, +1} (same trick is NOT needed in the oracle —
@@ -39,6 +40,7 @@ object VectorOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force quantized-cosine top-5 for a probe set of queries
     "emb_knn_brute" -> ((s, d) => {
+      DotQ.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("q"))
       val probes = e.filter(pmod(col("vec_id"), lit(50)) === 0)
@@ -64,6 +66,7 @@ object VectorOps {
     // integer mean-free dot against per-label summed vectors (IVF-style
     // coarse quantization: the scale path routes probes to nearest list)
     "emb_label_affinity" -> ((s, d) => {
+      DotQ.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), quant(col("embedding")).as("q"))
       // per-label SUM vector (exact ints; centroid ordering == sum ordering
@@ -93,6 +96,7 @@ object VectorOps {
     // cross join with B per-band-bucket joins. Rows-only check (xxhash64
     // planes are engine-side); recall vs brute force asserted in VectorSpec.
     "emb_lsh_ann" -> ((s, d) => {
+      DotQ.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("q"))
       val bandCols = (0 until 4).map { band =>

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Correctness of the near-dup detectors on a synthetic fixture with KNOWN
+  * duplicates — the invariant the rows-only driver check can't verify. */
+class NearDupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 40 base docs of 30 tokens; docs 100x are exact copies of doc x,
+  // docs 200x are near-copies (2 tokens changed), docs 300x unrelated.
+  private lazy val fixture = {
+    val vocab = (0 until 50).map(i => s"w$i")
+    def text(seed: Int): String =
+      (0 until 30).map(j => vocab((seed * 31 + j * 7) % vocab.size)).mkString(" ")
+    val base = (0 until 40).map(i => (i.toLong, text(i)))
+    val exact = (0 until 40).map(i => (100L + i, text(i)))
+    // one token changed -> true 3-gram jaccard ≈ 25/31 ≈ 0.81; at K=16,B=4
+    // the any-band hit probability is ~1-(1-0.81^4)^4 ≈ 0.9
+    val near = (0 until 40).map { i =>
+      val t = text(i).split(" "); t(17) = "qqq"
+      (200L + i, t.mkString(" "))
+    }
+    // unrelated docs use a disjoint vocabulary (no token overlap at all)
+    val far = (0 until 40).map(i =>
+      (300L + i, (0 until 30).map(j => s"u${i}x$j").mkString(" ")))
+    (base ++ exact ++ near ++ far).toDF("doc_id", "text")
+  }
+
+  private def minhashPairs = {
+    // re-run the production pipeline on the fixture via a temp parquet dir
+    val dir = tmpDir("neardup")
+    fixture
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    DedupOps.queries("doc_minhash_lsh")(spark, dir)
+  }
+
+  test("minhash+LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = minhashPairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    // every exact copy must be found with est_jaccard 1.0
+    val exactFound = (0 until 40).count(i => pairSet.contains((i.toLong, 100L + i)))
+    assert(exactFound == 40, s"exact dups found: $exactFound/40")
+    pairs.filter(p => p._1 < 40 && p._2 == p._1 + 100).foreach(p => assert(p._3 == 1.0))
+    // most near-copies must be found (expected recall ~0.9, see fixture)
+    val nearFound = (0 until 40).count(i => pairSet.contains((i.toLong, 200L + i)))
+    assert(nearFound >= 28, s"near dups found: $nearFound/40")
+    // unrelated docs must not pair with their base
+    val falsePos = (0 until 40).count(i => pairSet.contains((i.toLong, 300L + i)))
+    assert(falsePos == 0, s"false positives vs unrelated: $falsePos")
+  }
+
+  test("simhash: exact copies collide, near copies are close in hamming") {
+    val dir = tmpDir("neardup2")
+    fixture
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val sims = DedupOps.queries("doc_simhash")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    (0 until 40).foreach { i =>
+      assert(sims(i.toLong) == sims(100L + i), s"exact copy $i simhash differs")
+      assert(hamming(sims(i.toLong), sims(200L + i)) <= 16,
+        s"near copy $i too far: ${hamming(sims(i.toLong), sims(200L + i))}")
+    }
+    // unrelated docs: average distance should be much larger
+    val farDist = (0 until 40).map(i => hamming(sims(i.toLong), sims(300L + i))).sum / 40.0
+    assert(farDist > 16.0, s"unrelated docs too close on average: $farDist")
+  }
+}
