@@ -48,24 +48,10 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
       else
         Dedup.lastPerKey(events, Model.keyCols, "lsn")
 
-    val delta = deduped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // lineage BEFORE commit: written under epoch=<id>; orphan lineage from a
-      // crashed run is overwritten by the deterministic re-run of the epoch
-      val lineage = delta
-        .withColumn("partition", table.bucketCol)
-        .groupBy("partition")
-        .agg(
-          min("lsn").as("firstLSN"),
-          max("lsn").as("lastLSN"),
-          count(lit(1)).as("rowCount"),
-          sum(octet_length(coalesce(col("content"), lit("")))).as("bytes"))
-        .withColumn("epochId", lit(epochId))
-      lineage.write.mode("overwrite").parquet(s"$lineageDir/epoch=$epochId")
-
-      val res = table.merge(delta, epochId, conf.broadcastThresholdRows)
-      if (res.applied) res.stats.map(_.rows).sum else -1L
-    } finally delta.unpersist()
+    // merge computes per-bucket stats in a single pass and writes the
+    // lineage rows itself (just before the manifest commit)
+    val res = table.merge(deduped, epochId, conf.broadcastThresholdRows)
+    if (res.applied) res.stats.map(_.rows).sum else -1L
   }
 
   /** Replay generated events for lsn in [lo, hi) in `epochs` equal chunks,

@@ -28,6 +28,8 @@ object ReplayJob {
     val spark = SparkSession.builder()
       .master(master)
       .appName("graft-cdc-replay")
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.adaptive.enabled", "true")

@@ -168,16 +168,29 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
     val schemaChanged = mergedSchema != tableSchema
 
     val keyed = delta.withColumn("bucket", bucketCol)
-    // cache: used for bucket discovery, count, anti-join AND upserts
+    // cache: used for the stats pass, the anti-join AND the upserts
     keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val deltaRows = keyed.count()
-      val affected = keyed.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+      // ONE action computes everything the driver needs: affected buckets,
+      // delta size (broadcast decision), fencing inputs, lineage rows and
+      // the ledger update. ≤ numBuckets rows come back.
+      val bytesCol =
+        if (delta.columns.contains("content")) sum(octet_length(coalesce(col("content"), lit(""))))
+        else lit(0L)
+      val stats = keyed.groupBy("bucket").agg(
+          min("lsn").as("firstLsn"), max("lsn").as("maxLsn"),
+          count(lit(1)).as("rows"), bytesCol.cast("long").as("bytes"))
+        .collect()
+        .map(r => BucketMergeStat(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      val deltaRows = stats.map(_.rows).sum
+      val affected = stats.map(_.bucket).toSet
       val fenced = prev.toSeq.flatMap(_.buckets.toSeq)
         .filter { case (b, st) => affected.contains(b.toInt) && st.lastEpoch >= epochId }
         .map(_._1.toInt).toSet
       val toMerge = affected -- fenced
       if (toMerge.isEmpty) return MergeResult(epochId, applied = false, Seq.empty)
+      val mergedStats = stats.filter(s => toMerge.contains(s.bucket))
 
       val current = SchemaEvolution.alignTo(readBuckets(Some(toMerge)), mergedSchema)
         .withColumn("bucket", bucketCol)
@@ -201,12 +214,16 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
         .partitionBy("bucket")
         .parquet(s"$root/$snapDir")
 
-      // per-bucket stats for the ledger (maxLsn per bucket from the delta)
-      val stats = deltaWithOp.groupBy("bucket")
-        .agg(max("lsn").as("maxLsn"), count(lit(1)).as("rows"))
-        .collect()
-        .map(r => BucketMergeStat(r.getInt(0), r.getLong(1), r.getLong(2)))
-        .toSeq
+      // lineage rows (partition, firstLSN, lastLSN, rowCount, bytes) from the
+      // already-collected stats — written BEFORE the manifest rename so a
+      // committed epoch always has its lineage (a crash in between leaves
+      // orphan lineage that the epoch re-run simply overwrites)
+      import spark.implicits._
+      mergedStats.map(s =>
+          Model.LineageRow(epochId, s.bucket, s.firstLsn, s.maxLsn, s.rows, s.bytes))
+        .toDF()
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/lineage/epoch=$epochId")
 
       // build + commit the new manifest (single atomic rename = txn commit)
       val schemas0 = prev.map(_.schemas).getOrElse(
@@ -218,7 +235,7 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
           (schemas0 + (next.toString -> mergedSchema.json), next)
         }
       val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[String, BucketState])
-      val newBuckets = prevBuckets ++ stats.map { s =>
+      val newBuckets = prevBuckets ++ mergedStats.map { s =>
         s.bucket.toString -> BucketState(snapDir, epochId, s.maxLsn, schemaId)
       }.toMap
       val m = Manifest(
@@ -230,7 +247,7 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
         epochs = (prev.map(_.epochs).getOrElse(Seq.empty) :+ epochId).distinct
       )
       commitManifest(m)
-      MergeResult(epochId, applied = true, stats)
+      MergeResult(epochId, applied = true, mergedStats)
     } finally keyed.unpersist()
   }
 
@@ -279,6 +296,6 @@ object SnapshotTable {
       @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
       epochs: Seq[Long])
 
-  case class BucketMergeStat(bucket: Int, maxLsn: Long, rows: Long)
+  case class BucketMergeStat(bucket: Int, firstLsn: Long, maxLsn: Long, rows: Long, bytes: Long)
   case class MergeResult(epochId: Long, applied: Boolean, stats: Seq[BucketMergeStat])
 }
