@@ -115,6 +115,43 @@ object CdcQueries {
         .orderBy("user_id")
     }),
 
+    // F1 key/value converter: serialize the flattened payload to JSON wire
+    // format (the reference's default format, ServerApp.java:97-99)
+    "cdc_serialize_json" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+          to_json(struct(
+            col("event_id").as("lsn"),
+            col("event_type").as("op"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))).as("wire"))
+        .orderBy("event_id")),
+
+    // streaming-style tumbling window aggregation (1h) per event type
+    "cdc_window_hourly" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("event_id")).as("max_lsn"))
+        .select(col("w.start").as("hour_start"), col("event_type"), col("n"), col("max_lsn"))
+        .orderBy("hour_start", "event_type")),
+
+    // gap-based sessionization (30 min) — the batch formulation of
+    // flatMapGroupsWithState session state
+    "cdc_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (col("ts").cast("timestamp").cast("double")
+              - col("prev_ts").cast("timestamp").cast("double")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_no", sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_lsn"), max(col("event_id")).as("last_lsn"))
+        .orderBy("user_id", "session_no")
+    }),
+
     // F5 time-pattern path rendering ({YEAR}/{MONTH}/... object naming,
     // deterministic — no UUID, see SURVEY §7.3)
     "cdc_time_path" -> ((s, d) =>
@@ -174,6 +211,33 @@ object CdcQueries {
         |  SELECT user_id, event_id, 'u' AS op, value FROM events WHERE event_id >= 100)
         |SELECT user_id, max(event_id) AS last_lsn, arg_max(op, event_id) AS last_op, count(*) AS n
         |FROM all_ev GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "cdc_serialize_json" ->
+      """SELECT event_id,
+        |       to_json(struct_pack(lsn := event_id, op := event_type,
+        |                           k := CAST(json_extract_string(props, '$.k') AS INTEGER)))::VARCHAR AS wire
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_window_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |       count(*) AS n, max(event_id) AS max_lsn
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "cdc_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, ts, event_id,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM l),
+        |g AS (
+        |  SELECT user_id, event_id,
+        |         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM f)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |       min(event_id) AS first_lsn, max(event_id) AS last_lsn
+        |FROM g GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
     "cdc_time_path" ->
       """SELECT event_id,
         |       CAST(year(ts) AS VARCHAR) || '/' || lpad(CAST(month(ts) AS VARCHAR), 2, '0')
