@@ -30,10 +30,22 @@ import org.apache.spark.sql.functions._
 final case class EngineConfig(
     numBuckets: Int = 32,
     saltBuckets: Int = 0,        // 0 = rely on max_by partial agg; >0 = explicit two-phase salt
-    broadcastThresholdRows: Long = 4_000_000L
+    broadcastThresholdRows: Long = 4_000_000L,
+    // offset-flush cadence (reference OffsetCommitPolicy.java:30-93);
+    // Always = manifest rename per epoch (perf-run default in the reference)
+    commitPolicy: CommitPolicy = CommitPolicy.Always,
+    // A1 Roller / flush.records equivalent: caps parquet file size on the
+    // snapshot write (reference StorageSinkConnectorConfig.java:31-38)
+    maxRecordsPerFile: Long = 0L
 )
 
 class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfig = EngineConfig()) {
+
+  if (conf.maxRecordsPerFile > 0)
+    spark.conf.set("spark.sql.files.maxRecordsPerFile", conf.maxRecordsPerFile)
+
+  private var epochsSinceCommit = 0L
+  private var lastCommitMs = System.currentTimeMillis()
 
   def lineageDir: String = s"${table.root}/lineage"
 
@@ -49,9 +61,23 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
         Dedup.lastPerKey(events, Model.keyCols, "lsn")
 
     // merge computes per-bucket stats in a single pass and writes the
-    // lineage rows itself (just before the manifest commit)
-    val res = table.merge(deduped, epochId, conf.broadcastThresholdRows)
+    // lineage rows itself (just before the manifest commit). The commit
+    // policy decides whether this epoch's manifest rename happens now
+    // (offset flush) or is deferred (reference maybeFlush/commitOffsets,
+    // MTEngine.java:1080-1138).
+    val doCommit = conf.commitPolicy.performCommit(
+      epochsSinceCommit + 1, System.currentTimeMillis() - lastCommitMs)
+    val res = table.merge(deduped, epochId, conf.broadcastThresholdRows, commit = doCommit)
+    if (doCommit) { epochsSinceCommit = 0; lastCommitMs = System.currentTimeMillis() }
+    else epochsSinceCommit += 1
     if (res.applied) res.stats.map(_.rows).sum else -1L
+  }
+
+  /** Final offset flush (graceful-stop path, reference ServerApp.java:269-284). */
+  def flush(): Boolean = {
+    val did = table.commitPending()
+    if (did) { epochsSinceCommit = 0; lastCommitMs = System.currentTimeMillis() }
+    did
   }
 
   /** Replay generated events for lsn in [lo, hi) in `epochs` equal chunks,
@@ -73,6 +99,7 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
       cursor = end
       i += 1
     }
+    flush() // graceful-stop final commit
     ReplayStats(i, skipped, applied)
   }
 

@@ -63,6 +63,54 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
     }
   }
 
+  // ---- deferred-commit (periodic offset-flush) state ---------------------
+  // Epochs applied under a non-Always CommitPolicy stage their bucket states
+  // here; they become durable (and fenced) only at the next manifest rename.
+  // A crash discards this map — the deterministic replay re-applies those
+  // epochs, overwriting the same snap dirs (at-least-once window upgraded to
+  // exactly-once by determinism + overwrite).
+  private var pendingBuckets = Map.empty[String, BucketState]
+  private var pendingEpochs = Vector.empty[Long]
+  private var pendingSchemas = Map.empty[String, String]
+  private var pendingSchemaId: Option[Int] = None
+
+  def hasPending: Boolean = pendingEpochs.nonEmpty
+
+  /** Manifest view including staged-but-uncommitted epochs (what merges and
+    * reads must see so back-to-back uncommitted epochs compose correctly). */
+  def effectiveManifest(): Option[Manifest] = {
+    val base = loadManifest()
+    if (pendingEpochs.isEmpty) base
+    else {
+      val b = base.getOrElse(Manifest(-1L, numBuckets,
+        Map("0" -> Model.tableSchemaV0.json), 0, Map.empty, Seq.empty))
+      Some(b.copy(
+        schemas = b.schemas ++ pendingSchemas,
+        currentSchemaId = pendingSchemaId.getOrElse(b.currentSchemaId),
+        buckets = b.buckets ++ pendingBuckets,
+        epochs = b.epochs ++ pendingEpochs))
+    }
+  }
+
+  /** Flush staged epochs into a durable manifest (the offset flush). */
+  def commitPending(): Boolean = {
+    if (pendingEpochs.isEmpty) false
+    else {
+      val base = loadManifest()
+      val m = Manifest(
+        version = base.map(_.version + 1).getOrElse(0L),
+        numBuckets = numBuckets,
+        schemas = base.map(_.schemas).getOrElse(Map("0" -> Model.tableSchemaV0.json)) ++ pendingSchemas,
+        currentSchemaId = pendingSchemaId.orElse(base.map(_.currentSchemaId)).getOrElse(0),
+        buckets = base.map(_.buckets).getOrElse(Map.empty) ++ pendingBuckets,
+        epochs = (base.map(_.epochs).getOrElse(Seq.empty) ++ pendingEpochs).distinct)
+      commitManifest(m)
+      pendingBuckets = Map.empty; pendingEpochs = Vector.empty
+      pendingSchemas = Map.empty; pendingSchemaId = None
+      true
+    }
+  }
+
   /** Write manifest via temp file + rename: the atomic commit point. */
   private def commitManifest(m: Manifest): Unit = {
     val tmp = new Path(root, s"manifest.json.tmp-${m.version}")
@@ -74,13 +122,15 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
       throw new IllegalStateException(s"manifest commit failed for version ${m.version}")
   }
 
-  def currentSchema(): StructType = loadManifest() match {
+  def currentSchema(): StructType = effectiveManifest() match {
     case Some(m) => DataType.fromJson(m.schemas(m.currentSchemaId.toString)).asInstanceOf[StructType]
     case None    => Model.tableSchemaV0
   }
 
+  /** durable (manifest) OR staged: both fence re-application in-process;
+    * only durable survives a crash. */
   def isCommitted(epochId: Long): Boolean =
-    loadManifest().exists(_.epochs.contains(epochId))
+    effectiveManifest().exists(_.epochs.contains(epochId))
 
   def lastCommittedEpoch: Option[Long] = loadManifest().flatMap(m => m.epochs.sorted.lastOption)
 
@@ -104,7 +154,7 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
     * distinct directory, so unread buckets cost zero IO). */
   def readBuckets(only: Option[Set[Int]]): DataFrame = {
     val schema = currentSchema()
-    loadManifest() match {
+    effectiveManifest() match {
       case None => emptyDf(schema)
       case Some(m) =>
         val wanted = m.buckets.toSeq
@@ -156,8 +206,9 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
    * already covers `epochId` are skipped; re-running a committed epoch is a
    * no-op (fencing on (bucket, epochId)).
    */
-  def merge(delta: DataFrame, epochId: Long, broadcastThresholdRows: Long = 4_000_000L): MergeResult = {
-    val prev = loadManifest()
+  def merge(delta: DataFrame, epochId: Long, broadcastThresholdRows: Long = 4_000_000L,
+            commit: Boolean = true): MergeResult = {
+    val prev = effectiveManifest()
     if (prev.exists(_.epochs.contains(epochId)))
       return MergeResult(epochId, applied = false, Seq.empty)
 
@@ -225,7 +276,7 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$root/lineage/epoch=$epochId")
 
-      // build + commit the new manifest (single atomic rename = txn commit)
+      // stage this epoch's bucket states; commit = atomic manifest rename
       val schemas0 = prev.map(_.schemas).getOrElse(
         Map("0" -> Model.tableSchemaV0.json))
       val (schemas, schemaId) =
@@ -234,19 +285,14 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
           val next = schemas0.keys.map(_.toInt).max + 1
           (schemas0 + (next.toString -> mergedSchema.json), next)
         }
-      val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[String, BucketState])
-      val newBuckets = prevBuckets ++ mergedStats.map { s =>
+      val epochBuckets = mergedStats.map { s =>
         s.bucket.toString -> BucketState(snapDir, epochId, s.maxLsn, schemaId)
       }.toMap
-      val m = Manifest(
-        version = prev.map(_.version + 1).getOrElse(0L),
-        numBuckets = numBuckets,
-        schemas = schemas,
-        currentSchemaId = schemaId,
-        buckets = newBuckets,
-        epochs = (prev.map(_.epochs).getOrElse(Seq.empty) :+ epochId).distinct
-      )
-      commitManifest(m)
+      pendingBuckets = pendingBuckets ++ epochBuckets
+      pendingEpochs = pendingEpochs :+ epochId
+      pendingSchemas = pendingSchemas ++ (schemas -- schemas0.keySet)
+      if (schemaChanged) pendingSchemaId = Some(schemaId)
+      if (commit) commitPending()
       MergeResult(epochId, applied = true, mergedStats)
     } finally keyed.unpersist()
   }
