@@ -51,7 +51,17 @@ object DedupOps {
             xxhash64(slice(col("sig"), b * (K / B) + 1, K / B).cast("string")).as("bkey")))
           : _*)).as("bb"))
         .select(col("doc_id"), col("n_shingles"), col("sig"), col("bb.band"), col("bb.bkey"))
-      val a = banded.as("a"); val bb = banded.as("b")
+      // mega-bucket cap: a band bucket with > CAP members contributes
+      // O(CAP^2) candidate pairs; such buckets are near-universal shingle
+      // patterns, not near-duplicates. Standard LSH practice at scale —
+      // bounds the candidate join at sum(|bucket|^2) <= CAP * |docs|.
+      val CAP = 64
+      val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+      val bandedCapped = banded
+        .withColumn("bsize", count(lit(1)).over(bucketW))
+        .filter(col("bsize") <= CAP)
+        .drop("bsize")
+      val a = bandedCapped.as("a"); val bb = bandedCapped.as("b")
       val cand = a.join(bb,
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
