@@ -25,11 +25,17 @@ object ReplayJob {
     val numKeys   = if (args.length > 4) args(4).toLong else 100_000L
     val master    = if (args.length > 5) args(5) else sys.env.getOrElse("SPARK_MASTER", "local[8]")
 
-    val spark = SparkSession.builder()
+    val builder0 = SparkSession.builder()
       .master(master)
       .appName("graft-cdc-replay")
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp"))
+    // extra session confs: SPARK_GRAFT_CONF="k=v;k2=v2"
+    val spark = sys.env.get("SPARK_GRAFT_CONF").map(_.split(";").filter(_.contains("=")))
+      .getOrElse(Array.empty)
+      .foldLeft(builder0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "32"))
       .config("spark.sql.adaptive.enabled", "true")
