@@ -40,6 +40,17 @@ object EventGen {
              schemaId: Int = 0, numSlices: Int = 0): DataFrame = {
     val slices = if (numSlices > 0) numSlices else spark.sparkContext.defaultParallelism
     val base = spark.range(lo, hi, 1, slices).toDF("lsn")
+    eventsFromLsns(base, cfg, schemaId)
+  }
+
+  /** Materialize full events for an arbitrary `lsn` column — the
+    * "re-read the log by offset" primitive every real binlog/WAL source has.
+    * Because every column is a pure function of lsn, the engine can dedup on
+    * the (key, lsn) skeleton only and late-materialize winner payloads,
+    * shuffling ~15% of the bytes (see CdcEngine late materialization). */
+  def eventsFromLsns(lsns: DataFrame, cfg: GenConfig = GenConfig(),
+                     schemaId: Int = 0): DataFrame = {
+    val base = lsns
     val h = (salt: Int) => xxhash64(col("lsn"), lit(cfg.seed + salt))
 
     val isHot = pmod(h(1), lit(100)) < lit(cfg.hotFraction)

@@ -50,7 +50,8 @@ object ReplayJob {
     val bcast = sys.env.getOrElse("SPARK_GRAFT_BCAST", "4000000").toLong
     val table = new SnapshotTable(spark, tableRoot, buckets)
     val engine = new CdcEngine(spark, table,
-      EngineConfig(numBuckets = buckets, broadcastThresholdRows = bcast))
+      EngineConfig(numBuckets = buckets, broadcastThresholdRows = bcast,
+        lateMaterialize = !sys.env.get("SPARK_GRAFT_LATEMAT").contains("0")))
 
     val t0 = System.nanoTime()
     val stats = engine.replayGenerated(0, numEvents, epochs, gen)

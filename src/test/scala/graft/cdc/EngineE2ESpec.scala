@@ -108,6 +108,19 @@ class EngineE2ESpec extends SparkTestBase {
     assertTableMatchesOracle(table, 0, 15000)
   }
 
+  test("late materialization and full-shuffle dedup produce identical tables") {
+    val r1 = tmpDir("lm1"); val r2 = tmpDir("lm2")
+    val late = new CdcEngine(spark, new SnapshotTable(spark, r1, 8),
+      EngineConfig(numBuckets = 8, lateMaterialize = true))
+    val full = new CdcEngine(spark, new SnapshotTable(spark, r2, 8),
+      EngineConfig(numBuckets = 8, lateMaterialize = false))
+    late.replayGenerated(0, 30000, 3, gen)
+    full.replayGenerated(0, 30000, 3, gen)
+    val a = digests(late.table.read())
+    val b = digests(full.table.read())
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("vacuum removes unreferenced snapshots, table still reads") {
     val root = tmpDir("snap")
     val table = new SnapshotTable(spark, root, numBuckets = 4)
