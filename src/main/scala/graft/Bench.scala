@@ -39,7 +39,7 @@ object Bench {
   }
 
   /** one full exactly-once replay at `cpus` threads; returns events/sec */
-  private def cdcReplayRate(cpus: Int, numEvents: Long): Double = {
+  private def cdcReplayRate(cpus: Int, numEvents: Long, mode: String = "cow"): Double = {
     val spark = session(cpus.toString, cpus * 4)
     try {
       val root = java.nio.file.Files.createTempDirectory(
@@ -47,7 +47,7 @@ object Bench {
         s"bench-cdc-$cpus").toString
       val gen = GenConfig(numKeys = math.max(1000L, numEvents / 5),
         hotKeys = 64, snapshotLsn = numEvents / 10)
-      val table = new SnapshotTable(spark, root, numBuckets = 64)
+      val table = new SnapshotTable(spark, root, numBuckets = 64, mode = mode)
       val engine = new CdcEngine(spark, table,
         EngineConfig(numBuckets = 64, broadcastThresholdRows = 0))
       val t0 = System.nanoTime()
@@ -92,8 +92,11 @@ object Bench {
     val rateN = ratesN.max
     val rate4N = rates4N.max
     val eff = (rate4N / rateN) / 4.0
-    // headline: full machine (32 cores), one run
+    // headline: full machine (32 cores), one run each mode (cow = rewrite
+    // touched buckets per epoch; mor = Iceberg-style delta append, the
+    // realistic streaming-upsert configuration)
     val rateFull = cdcReplayRate(32, cdcEvents)
+    val rateFullMor = cdcReplayRate(32, cdcEvents, mode = "mor")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -103,7 +106,8 @@ object Bench {
       f"""{"events":$cdcEvents,"reps":$reps,"n_cores":2,"4n_cores":8,""" +
       f""""events_per_sec_n":${rateN}%.0f,"events_per_sec_4n":${rate4N}%.0f,""" +
       f""""rates_n":${arr(ratesN.toSeq)},"rates_4n":${arr(rates4N.toSeq)},""" +
-      f""""scaling_efficiency":${eff}%.3f,"events_per_sec_32core":${rateFull}%.0f}"""
+      f""""scaling_efficiency":${eff}%.3f,"events_per_sec_32core":${rateFull}%.0f,""" +
+      f""""events_per_sec_32core_mor":${rateFullMor}%.0f}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson}""")
   }

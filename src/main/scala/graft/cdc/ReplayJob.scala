@@ -48,7 +48,8 @@ object ReplayJob {
     val gen = GenConfig(numKeys = numKeys, hotKeys = math.max(4, numKeys / 10000),
       snapshotLsn = numEvents / 10)
     val bcast = sys.env.getOrElse("SPARK_GRAFT_BCAST", "4000000").toLong
-    val table = new SnapshotTable(spark, tableRoot, buckets)
+    val tableMode = sys.env.getOrElse("SPARK_GRAFT_TABLE_MODE", "cow")
+    val table = new SnapshotTable(spark, tableRoot, buckets, mode = tableMode)
     val engine = new CdcEngine(spark, table,
       EngineConfig(numBuckets = buckets, broadcastThresholdRows = bcast,
         lateMaterialize = !sys.env.get("SPARK_GRAFT_LATEMAT").contains("0")))

@@ -43,8 +43,17 @@ import java.nio.charset.StandardCharsets
  * current schema (SchemaEvolution.alignTo) so old snapshots remain readable
  * after column add / type widen.
  */
-class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: Int) {
+/**
+ * @param mode "cow" (copy-on-write: each epoch rewrites touched buckets —
+ *             cheapest reads) or "mor" (merge-on-read: each epoch appends its
+ *             deduped delta; readers reconcile base+deltas by max-LSN and
+ *             buckets auto-compact past `compactionThreshold` stacked deltas
+ *             — Iceberg's two write modes, rebuilt on parquet + manifest)
+ */
+class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: Int,
+                    val mode: String = "cow", val compactionThreshold: Int = 8) {
   import SnapshotTable._
+  require(mode == "cow" || mode == "mor", s"unknown table mode $mode")
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
@@ -151,7 +160,9 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
   def read(): DataFrame = readBuckets(None)
 
   /** Read only the given buckets (partition pruning: each bucket is a
-    * distinct directory, so unread buckets cost zero IO). */
+    * distinct directory, so unread buckets cost zero IO). For MOR buckets
+    * with stacked deltas, base and deltas are reconciled by max-LSN
+    * (deletes win by tombstone) — Iceberg merge-on-read semantics. */
   def readBuckets(only: Option[Set[Int]]): DataFrame = {
     val schema = currentSchema()
     effectiveManifest() match {
@@ -162,10 +173,11 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
           .filter { case (b, _) => only.forall(_.contains(b)) }
         if (wanted.isEmpty) emptyDf(schema)
         else {
-          // group by (snapshot dir, schema version): one scan per group, each
-          // read with ITS OWN written schema then cast up to the current one
-          val groups = wanted.groupBy { case (_, st) => (st.dir, st.schemaId) }
-          val dfs = groups.toSeq.flatMap { case ((dir, sid), entries) =>
+          // base: group by (snapshot dir, schema version): one scan per
+          // group, each read with ITS OWN written schema then cast up
+          val groups = wanted.filter(_._2.dir.nonEmpty)
+            .groupBy { case (_, st) => (st.dir, st.schemaId) }
+          val baseDfs = groups.toSeq.flatMap { case ((dir, sid), entries) =>
             val written = DataType.fromJson(m.schemas(sid.toString)).asInstanceOf[StructType]
             // a bucket whose rows were all deleted has a ledger entry but no
             // files (partitionBy writes nothing for an empty partition)
@@ -180,7 +192,37 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
               Some(SchemaEvolution.alignTo(df, schema).withColumn("bucket", bucketCol))
             }
           }
-          if (dfs.isEmpty) emptyDf(schema) else dfs.reduce(_ unionByName _)
+          val base = if (baseDfs.isEmpty) emptyDf(schema) else baseDfs.reduce(_ unionByName _)
+
+          val deltaRefs = wanted.flatMap { case (b, st) => st.deltas.map(d => (d, b)) }
+          if (deltaRefs.isEmpty) base
+          else {
+            // reconcile: base rows lose to any delta row for the same key
+            // (base lsn = -1); per-key max-LSN winner decides, tombstones drop
+            val reconTarget = StructType(schema.fields ++ Seq(
+              org.apache.spark.sql.types.StructField("lsn", org.apache.spark.sql.types.LongType, true),
+              org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType, true)))
+            val baseR = base.drop("bucket")
+              .withColumn("lsn", lit(-1L)).withColumn("op", lit("r"))
+            val deltaDfs = deltaRefs.groupBy(_._1).toSeq.flatMap { case (dref, entries) =>
+              val tbl = DataType.fromJson(m.schemas(dref.schemaId.toString)).asInstanceOf[StructType]
+              val written = StructType(tbl.fields ++ Seq(
+                org.apache.spark.sql.types.StructField("lsn", org.apache.spark.sql.types.LongType, true),
+                org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType, true)))
+              val paths = entries.map { case (_, b) => s"$root/${dref.dir}/bucket=$b" }
+                .filter(p => fs.exists(new Path(p)))
+              if (paths.isEmpty) None
+              else Some(SchemaEvolution.alignTo(
+                spark.read.schema(written).option("basePath", s"$root/${dref.dir}").parquet(paths: _*),
+                reconTarget))
+            }
+            val all = (SchemaEvolution.alignTo(baseR, reconTarget) +: deltaDfs)
+              .reduce(_ unionByName _)
+            Dedup.lastPerKey(all, Model.keyCols, "lsn")
+              .filter(col("op") =!= "d")
+              .drop("lsn", "op")
+              .withColumn("bucket", bucketCol)
+          }
         }
     }
   }
@@ -243,27 +285,43 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
       if (toMerge.isEmpty) return MergeResult(epochId, applied = false, Seq.empty)
       val mergedStats = stats.filter(s => toMerge.contains(s.bucket))
 
-      val current = SchemaEvolution.alignTo(readBuckets(Some(toMerge)), mergedSchema)
-        .withColumn("bucket", bucketCol)
       val deltaWithOp = keyed.filter(col("bucket").isInCollection(toMerge))
+      val snapDir = if (mode == "mor") s"data/delta-$epochId" else s"data/snap-$epochId"
 
-      val keys = deltaWithOp.select(Model.keyCols.map(col): _*)
-      val keysMaybeBroadcast = if (deltaRows <= broadcastThresholdRows) broadcast(keys) else keys
-
-      val survivors = current.join(keysMaybeBroadcast, Model.keyCols, "left_anti")
-      val upserts = SchemaEvolution.alignTo(
-          deltaWithOp.filter(col("op") =!= "d"), mergedSchema)
-        .withColumn("bucket", bucketCol)
-
-      val out = survivors.select((mergedSchema.fieldNames.toSeq :+ "bucket").map(col): _*)
-        .unionByName(upserts.select((mergedSchema.fieldNames.toSeq :+ "bucket").map(col): _*))
-
-      val snapDir = s"data/snap-$epochId"
-      out
-        .repartition(math.max(1, toMerge.size), col("bucket"))
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(s"$root/$snapDir")
+      if (mode == "mor") {
+        // merge-on-read: append ONLY the deduped delta (with lsn + op
+        // tombstones); no base read, no join — O(|delta|) write per epoch.
+        // Readers reconcile; compaction amortizes read amplification.
+        val reconTarget = StructType(mergedSchema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("lsn", org.apache.spark.sql.types.LongType, true),
+          org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType, true)))
+        SchemaEvolution.alignTo(deltaWithOp, reconTarget)
+          .withColumn("bucket", bucketCol)
+          .repartition(math.max(1, toMerge.size), col("bucket"))
+          .write.mode("overwrite")
+          .partitionBy("bucket")
+          .parquet(s"$root/$snapDir")
+      } else {
+        // copy-on-write: rewrite touched buckets = survivors ∪ upserts.
+        // The surviving-rows side is current LEFT ANTI JOIN delta keys —
+        // with a small delta the key set broadcasts and the snapshot side
+        // never shuffles.
+        val current = SchemaEvolution.alignTo(readBuckets(Some(toMerge)), mergedSchema)
+          .withColumn("bucket", bucketCol)
+        val keys = deltaWithOp.select(Model.keyCols.map(col): _*)
+        val keysMaybeBroadcast = if (deltaRows <= broadcastThresholdRows) broadcast(keys) else keys
+        val survivors = current.join(keysMaybeBroadcast, Model.keyCols, "left_anti")
+        val upserts = SchemaEvolution.alignTo(
+            deltaWithOp.filter(col("op") =!= "d"), mergedSchema)
+          .withColumn("bucket", bucketCol)
+        val out = survivors.select((mergedSchema.fieldNames.toSeq :+ "bucket").map(col): _*)
+          .unionByName(upserts.select((mergedSchema.fieldNames.toSeq :+ "bucket").map(col): _*))
+        out
+          .repartition(math.max(1, toMerge.size), col("bucket"))
+          .write.mode("overwrite")
+          .partitionBy("bucket")
+          .parquet(s"$root/$snapDir")
+      }
 
       // lineage rows (partition, firstLSN, lastLSN, rowCount, bytes) from the
       // already-collected stats — written BEFORE the manifest rename so a
@@ -285,23 +343,65 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
           val next = schemas0.keys.map(_.toInt).max + 1
           (schemas0 + (next.toString -> mergedSchema.json), next)
         }
+      val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[String, BucketState])
       val epochBuckets = mergedStats.map { s =>
-        s.bucket.toString -> BucketState(snapDir, epochId, s.maxLsn, schemaId)
+        val key = s.bucket.toString
+        val st =
+          if (mode == "mor") {
+            val old = prevBuckets.get(key)
+            BucketState(old.map(_.dir).getOrElse(""), epochId, s.maxLsn,
+              old.map(_.schemaId).getOrElse(schemaId),
+              old.map(_.deltas).getOrElse(Seq.empty) :+ DeltaRef(snapDir, schemaId))
+          } else BucketState(snapDir, epochId, s.maxLsn, schemaId)
+        key -> st
       }.toMap
       pendingBuckets = pendingBuckets ++ epochBuckets
       pendingEpochs = pendingEpochs :+ epochId
       pendingSchemas = pendingSchemas ++ (schemas -- schemas0.keySet)
       if (schemaChanged) pendingSchemaId = Some(schemaId)
       if (commit) commitPending()
+      if (mode == "mor" && commit) compactIfNeeded()
       MergeResult(epochId, applied = true, mergedStats)
     } finally keyed.unpersist()
+  }
+
+  /** Compact buckets whose stacked delta count exceeds the threshold:
+    * materialize the reconciled state as a new base and clear the deltas.
+    * A separate committed operation (new manifest version). */
+  def compactIfNeeded(): Int = {
+    val m = loadManifest().getOrElse(return 0)
+    val targets = m.buckets.collect {
+      case (k, st) if st.deltas.size > compactionThreshold => k.toInt
+    }.toSet
+    if (targets.isEmpty) 0 else { compact(Some(targets)); targets.size }
+  }
+
+  /** Rewrite the reconciled state of the given buckets (default: all buckets
+    * with deltas) as a fresh base snapshot; clears their delta stacks. */
+  def compact(only: Option[Set[Int]] = None): Unit = {
+    val m = loadManifest().getOrElse(return)
+    val targets = m.buckets.toSeq.map { case (k, v) => (k.toInt, v) }
+      .filter { case (b, st) => st.deltas.nonEmpty && only.forall(_.contains(b)) }
+    if (targets.isEmpty) return
+    val bucketSet = targets.map(_._1).toSet
+    val compDir = s"data/compact-${m.version + 1}"
+    readBuckets(Some(bucketSet))
+      .repartition(math.max(1, bucketSet.size), col("bucket"))
+      .write.mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(s"$root/$compDir")
+    val sid = m.currentSchemaId
+    val updated = m.buckets ++ targets.map { case (b, st) =>
+      b.toString -> BucketState(compDir, st.lastEpoch, st.lastLsn, sid)
+    }.toMap
+    commitManifest(m.copy(version = m.version + 1, buckets = updated))
   }
 
   /** Delete snapshot directories no longer referenced by the manifest. */
   def vacuum(): Int = loadManifest() match {
     case None => 0
     case Some(m) =>
-      val live = m.buckets.values.map(_.dir).toSet
+      val live = m.buckets.values.flatMap(st => st.dir +: st.deltas.map(_.dir)).toSet
       val dataDir = new Path(root, "data")
       if (!fs.exists(dataDir)) 0
       else {
@@ -327,9 +427,14 @@ object SnapshotTable {
     m
   }
 
-  /** Per-bucket commit-ledger entry: which snapshot dir holds the bucket,
-    * the fencing epoch, resume LSN and schema version. */
-  case class BucketState(dir: String, lastEpoch: Long, lastLsn: Long, schemaId: Int)
+  /** A stacked merge-on-read delta file set for one bucket. */
+  case class DeltaRef(dir: String, schemaId: Int)
+
+  /** Per-bucket commit-ledger entry: which snapshot dir holds the bucket's
+    * base, the fencing epoch, resume LSN, schema version, and any stacked
+    * MOR deltas awaiting compaction. */
+  case class BucketState(dir: String, lastEpoch: Long, lastLsn: Long, schemaId: Int,
+                         deltas: Seq[DeltaRef] = Seq.empty)
 
   case class Manifest(
       version: Long,
