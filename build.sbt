@@ -30,3 +30,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 // extra JVM flags for perf experiments (e.g. GC choice), space-separated
 javaOptions ++= sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))
+// local-cluster[...] masters spawn real worker/executor JVMs; they need
+// SPARK_HOME + the scala suffix to assemble the executor command line.
+run / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")
+Test / envVars ++= Map(
+  "SPARK_HOME" -> "/opt/spark",
+  "SPARK_SCALA_VERSION" -> "2.13")

@@ -94,13 +94,10 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
   def applyEpochLateMat(lo: Long, hi: Long, epochId: Long, gen: GenConfig,
                         schemaId: Int = 0): Long = {
     if (table.isCommitted(epochId)) return -1L
-    val skeleton = EventGen.events(spark, lo, hi, gen)
-      .select(Model.keyCols.map(col) :+ col("lsn"): _*)
-    val winners =
-      if (conf.saltBuckets > 0)
-        Dedup.saltedLastPerKey(skeleton, Model.keyCols, "lsn", conf.saltBuckets)
-      else
-        Dedup.lastPerKey(skeleton, Model.keyCols, "lsn")
+    // phase 1 on the pure-numeric (key, lsn) skeleton: no string allocation,
+    // 16-byte shuffle rows, primitive-typed max aggregation
+    val winners = EventGen.keySkeleton(spark, lo, hi, gen)
+      .groupBy(col("key")).agg(max(col("lsn")).as("lsn"))
     val delta = EventGen.eventsFromLsns(winners.select("lsn"), gen, schemaId)
 
     val doCommit = conf.commitPolicy.performCommit(

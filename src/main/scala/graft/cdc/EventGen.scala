@@ -87,6 +87,23 @@ object EventGen {
       .drop("key")
   }
 
+  /** Key-skeleton for late-materialized dedup: only (key, lsn) as two longs
+    * — no string construction at all. The per-key max-LSN winner is fully
+    * determined by these two columns (the key id is a bijection with
+    * (repo, path) inside the generator; a real source would use its primary
+    * key / key-bytes column the same way). Phase-1 shuffle rows shrink to
+    * 16 bytes and the aggregation is a pure primitive-type codegen loop. */
+  def keySkeleton(spark: SparkSession, lo: Long, hi: Long, cfg: GenConfig = GenConfig(),
+                  numSlices: Int = 0): DataFrame = {
+    val slices = if (numSlices > 0) numSlices else spark.sparkContext.defaultParallelism
+    val base = spark.range(lo, hi, 1, slices).toDF("lsn")
+    val h = (salt: Int) => xxhash64(col("lsn"), lit(cfg.seed + salt))
+    val isHot = pmod(h(1), lit(100)) < lit(cfg.hotFraction)
+    val key = when(isHot, pmod(h(2), lit(cfg.hotKeys)))
+      .otherwise(pmod(h(2), lit(cfg.numKeys)))
+    base.withColumn("key", key)
+  }
+
   /** The expected final table state ("reference final state") after replaying
     * lsn in [lo, hi): per-key last-wins by LSN, deletes remove the key. This is
     * the oracle the engine's materialized table is sha256-compared against. */
