@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
 final case class EngineConfig(
     numBuckets: Int = 32,
     saltBuckets: Int = 0,        // 0 = rely on max_by partial agg; >0 = explicit two-phase salt
-    broadcastThresholdRows: Long = 4_000_000L,
+    broadcastThresholdBytes: Long = 256L << 20,
     // offset-flush cadence (reference OffsetCommitPolicy.java:30-93);
     // Always = manifest rename per epoch (perf-run default in the reference)
     commitPolicy: CommitPolicy = CommitPolicy.Always,
@@ -72,7 +72,7 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
     // MTEngine.java:1080-1138).
     val doCommit = conf.commitPolicy.performCommit(
       epochsSinceCommit + 1, System.currentTimeMillis() - lastCommitMs)
-    val res = table.merge(deduped, epochId, conf.broadcastThresholdRows, commit = doCommit)
+    val res = table.merge(deduped, epochId, conf.broadcastThresholdBytes, commit = doCommit)
     if (doCommit) { epochsSinceCommit = 0; lastCommitMs = System.currentTimeMillis() }
     else epochsSinceCommit += 1
     if (res.applied) res.stats.map(_.rows).sum else -1L
@@ -102,7 +102,7 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
 
     val doCommit = conf.commitPolicy.performCommit(
       epochsSinceCommit + 1, System.currentTimeMillis() - lastCommitMs)
-    val res = table.merge(delta, epochId, conf.broadcastThresholdRows, commit = doCommit)
+    val res = table.merge(delta, epochId, conf.broadcastThresholdBytes, commit = doCommit)
     if (doCommit) { epochsSinceCommit = 0; lastCommitMs = System.currentTimeMillis() }
     else epochsSinceCommit += 1
     if (res.applied) res.stats.map(_.rows).sum else -1L

@@ -47,11 +47,11 @@ object ReplayJob {
 
     val gen = GenConfig(numKeys = numKeys, hotKeys = math.max(4, numKeys / 10000),
       snapshotLsn = numEvents / 10)
-    val bcast = sys.env.getOrElse("SPARK_GRAFT_BCAST", "4000000").toLong
+    val bcast = sys.env.getOrElse("SPARK_GRAFT_BCAST", (256L << 20).toString).toLong // bytes
     val tableMode = sys.env.getOrElse("SPARK_GRAFT_TABLE_MODE", "cow")
     val table = new SnapshotTable(spark, tableRoot, buckets, mode = tableMode)
     val engine = new CdcEngine(spark, table,
-      EngineConfig(numBuckets = buckets, broadcastThresholdRows = bcast,
+      EngineConfig(numBuckets = buckets, broadcastThresholdBytes = bcast,
         lateMaterialize = !sys.env.get("SPARK_GRAFT_LATEMAT").contains("0")))
 
     val t0 = System.nanoTime()

@@ -49,7 +49,7 @@ object ScalingProbe {
     time("full-epoch") {
       val table = new SnapshotTable(spark, s"$root/probe-table", 64)
       val engine = new CdcEngine(spark, table,
-        EngineConfig(numBuckets = 64, broadcastThresholdRows = 0))
+        EngineConfig(numBuckets = 64, broadcastThresholdBytes = 0))
       engine.applyEpoch(EventGen.events(spark, 0, n, gen), 0L)
     }
     spark.stop()

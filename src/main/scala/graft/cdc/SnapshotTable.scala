@@ -50,8 +50,15 @@ import java.nio.charset.StandardCharsets
  *             buckets auto-compact past `compactionThreshold` stacked deltas
  *             — Iceberg's two write modes, rebuilt on parquet + manifest)
  */
+/**
+ * @param filesPerBucket write fan-out: each touched bucket's rows spread over
+ *        this many writer tasks (sub-bucketed by key hash) so one giant bucket
+ *        is not a single-task write at scale; 0 = auto (2·defaultParallelism
+ *        spread over the touched buckets, min 1)
+ */
 class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: Int,
-                    val mode: String = "cow", val compactionThreshold: Int = 8) {
+                    val mode: String = "cow", val compactionThreshold: Int = 8,
+                    val filesPerBucket: Int = 0) {
   import SnapshotTable._
   require(mode == "cow" || mode == "mor", s"unknown table mode $mode")
 
@@ -59,17 +66,44 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
 
   // ---- manifest ----------------------------------------------------------
+  // The commit point is a VERSIONED manifest file (manifest-v<N>.json),
+  // written via tmp + rename-to-a-fresh-name — a single atomic decision with
+  // no delete-then-rename window (a crash at any point leaves the previous
+  // version as the valid commit point; Iceberg's versioned-metadata pattern).
+  // Readers resolve the current manifest as the highest parseable version.
 
-  def manifestPath = new Path(root, "manifest.json")
+  private val manifestRe = "manifest-v(\\d+)\\.json".r
+
+  private def manifestFile(version: Long) = new Path(root, f"manifest-v$version%020d.json")
+
+  /** All manifest versions present on disk, descending. */
+  private def manifestVersions(): Seq[Long] = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .flatMap(s => s.getPath.getName match {
+        case manifestRe(v) => Some(v.toLong)
+        case _             => None
+      })
+      .sorted(Ordering[Long].reverse)
+  }
 
   def loadManifest(): Option[Manifest] = {
-    val p = manifestPath
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(mapper.readValue(in: java.io.InputStream, classOf[Manifest]))
+    // fall back to the next-lower version if the top one is unreadable
+    // (cannot happen under tmp+rename, but costs nothing to tolerate)
+    manifestVersions().iterator.flatMap { v =>
+      val in = fs.open(manifestFile(v))
+      try Some(mapper.readValue(in: java.io.InputStream, classOf[Manifest]).normalized)
+      catch { case _: java.io.IOException => None }
       finally in.close()
-    }
+    }.nextOption()
+  }
+
+  // Reopening an existing table with a different bucketing would silently
+  // misroute keys (constructor bucketCol vs on-disk layout) — fail fast.
+  loadManifest().foreach { m =>
+    require(m.numBuckets == numBuckets,
+      s"table at $root has numBuckets=${m.numBuckets}, opened with $numBuckets")
   }
 
   // ---- deferred-commit (periodic offset-flush) state ---------------------
@@ -97,7 +131,7 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
         schemas = b.schemas ++ pendingSchemas,
         currentSchemaId = pendingSchemaId.getOrElse(b.currentSchemaId),
         buckets = b.buckets ++ pendingBuckets,
-        epochs = b.epochs ++ pendingEpochs))
+        epochs = b.epochs ++ pendingEpochs).normalized)
     }
   }
 
@@ -112,7 +146,8 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
         schemas = base.map(_.schemas).getOrElse(Map("0" -> Model.tableSchemaV0.json)) ++ pendingSchemas,
         currentSchemaId = pendingSchemaId.orElse(base.map(_.currentSchemaId)).getOrElse(0),
         buckets = base.map(_.buckets).getOrElse(Map.empty) ++ pendingBuckets,
-        epochs = (base.map(_.epochs).getOrElse(Seq.empty) ++ pendingEpochs).distinct)
+        epochs = (base.map(_.epochs).getOrElse(Seq.empty) ++ pendingEpochs).distinct,
+        epochWatermark = base.map(_.epochWatermark).getOrElse(-1L)).normalized
       commitManifest(m)
       pendingBuckets = Map.empty; pendingEpochs = Vector.empty
       pendingSchemas = Map.empty; pendingSchemaId = None
@@ -120,15 +155,22 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
     }
   }
 
-  /** Write manifest via temp file + rename: the atomic commit point. */
+  /** Write manifest-v<N>.json via temp file + rename-to-fresh-name: the
+    * atomic commit point (nothing is ever deleted on the commit path, so no
+    * crash window can leave the table without a valid manifest). Older
+    * versions are pruned afterwards, keeping a couple for post-mortems. */
   private def commitManifest(m: Manifest): Unit = {
-    val tmp = new Path(root, s"manifest.json.tmp-${m.version}")
+    val target = manifestFile(m.version)
+    // a crashed earlier attempt at this same (never-committed) version may
+    // have left a file — it is garbage by construction, clear it
+    if (fs.exists(target)) fs.delete(target, false)
+    val tmp = new Path(root, s".manifest-v${m.version}.json.tmp")
     val out = fs.create(tmp, true)
     try out.write(mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(m))
     finally out.close()
-    if (fs.exists(manifestPath)) fs.delete(manifestPath, false)
-    if (!fs.rename(tmp, manifestPath))
+    if (!fs.rename(tmp, target))
       throw new IllegalStateException(s"manifest commit failed for version ${m.version}")
+    manifestVersions().drop(3).foreach(v => fs.delete(manifestFile(v), false))
   }
 
   def currentSchema(): StructType = effectiveManifest() match {
@@ -139,9 +181,9 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
   /** durable (manifest) OR staged: both fence re-application in-process;
     * only durable survives a crash. */
   def isCommitted(epochId: Long): Boolean =
-    effectiveManifest().exists(_.epochs.contains(epochId))
+    effectiveManifest().exists(_.containsEpoch(epochId))
 
-  def lastCommittedEpoch: Option[Long] = loadManifest().flatMap(m => m.epochs.sorted.lastOption)
+  def lastCommittedEpoch: Option[Long] = loadManifest().flatMap(_.maxEpoch)
 
   /** Highest LSN applied to any bucket — the resume point (reference model:
     * offset restore skipping `id <= lastId`, SimpleSourceConnector.java:143-157). */
@@ -231,6 +273,19 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .withColumn("bucket", bucketCol)
 
+  /** Writer repartition with sub-bucket fan-out: partition on
+    * (bucket, pmod(hash(key), fanout)) so every bucket spreads over `fanout`
+    * writer tasks. Plain repartition(n, bucket) hash-collides bucket ids
+    * (~1/e of tasks idle, some doubled) and caps each bucket at ONE task —
+    * at 100 TB / 64 buckets that is a ~1.5 TB single-task write. */
+  private def writerPartitioned(df: DataFrame, touchedBuckets: Int): DataFrame = {
+    val fanout =
+      if (filesPerBucket > 0) filesPerBucket
+      else math.max(1, 2 * spark.sparkContext.defaultParallelism / math.max(1, touchedBuckets))
+    df.repartition(math.max(1, touchedBuckets * fanout), col("bucket"),
+      pmod(hash(Model.keyCols.map(col): _*), lit(fanout)))
+  }
+
   // ---- merge (the exactly-once upsert/delete sink) ------------------------
 
   /**
@@ -248,10 +303,10 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
    * already covers `epochId` are skipped; re-running a committed epoch is a
    * no-op (fencing on (bucket, epochId)).
    */
-  def merge(delta: DataFrame, epochId: Long, broadcastThresholdRows: Long = 4_000_000L,
+  def merge(delta: DataFrame, epochId: Long, broadcastThresholdBytes: Long = 256L << 20,
             commit: Boolean = true): MergeResult = {
     val prev = effectiveManifest()
-    if (prev.exists(_.epochs.contains(epochId)))
+    if (prev.exists(_.containsEpoch(epochId)))
       return MergeResult(epochId, applied = false, Seq.empty)
 
     val tableSchema = currentSchema()
@@ -270,13 +325,21 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
       val bytesCol =
         if (delta.columns.contains("content")) sum(octet_length(coalesce(col("content"), lit(""))))
         else lit(0L)
+      val keyBytesCol = Model.keyCols
+        .map(k => octet_length(coalesce(col(k).cast("string"), lit(""))))
+        .reduce(_ + _)
       val stats = keyed.groupBy("bucket").agg(
           min("lsn").as("firstLsn"), max("lsn").as("maxLsn"),
-          count(lit(1)).as("rows"), bytesCol.cast("long").as("bytes"))
+          count(lit(1)).as("rows"), bytesCol.cast("long").as("bytes"),
+          sum(keyBytesCol).cast("long").as("keyBytes"))
         .collect()
-        .map(r => BucketMergeStat(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .map(r => BucketMergeStat(r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
         .toSeq
-      val deltaRows = stats.map(_.rows).sum
+      // broadcast decision is BYTE-based on what actually ships: the key
+      // columns (plus per-row struct overhead), not a row count — 4M rows of
+      // two long strings can be hundreds of MB
+      val deltaKeyBytes = stats.map(s => s.keyBytes + 16 * s.rows).sum
       val affected = stats.map(_.bucket).toSet
       val fenced = prev.toSeq.flatMap(_.buckets.toSeq)
         .filter { case (b, st) => affected.contains(b.toInt) && st.lastEpoch >= epochId }
@@ -295,9 +358,9 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
         val reconTarget = StructType(mergedSchema.fields ++ Seq(
           org.apache.spark.sql.types.StructField("lsn", org.apache.spark.sql.types.LongType, true),
           org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType, true)))
-        SchemaEvolution.alignTo(deltaWithOp, reconTarget)
-          .withColumn("bucket", bucketCol)
-          .repartition(math.max(1, toMerge.size), col("bucket"))
+        writerPartitioned(
+            SchemaEvolution.alignTo(deltaWithOp, reconTarget).withColumn("bucket", bucketCol),
+            toMerge.size)
           .write.mode("overwrite")
           .partitionBy("bucket")
           .parquet(s"$root/$snapDir")
@@ -309,15 +372,15 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
         val current = SchemaEvolution.alignTo(readBuckets(Some(toMerge)), mergedSchema)
           .withColumn("bucket", bucketCol)
         val keys = deltaWithOp.select(Model.keyCols.map(col): _*)
-        val keysMaybeBroadcast = if (deltaRows <= broadcastThresholdRows) broadcast(keys) else keys
+        val keysMaybeBroadcast =
+          if (deltaKeyBytes <= broadcastThresholdBytes) broadcast(keys) else keys
         val survivors = current.join(keysMaybeBroadcast, Model.keyCols, "left_anti")
         val upserts = SchemaEvolution.alignTo(
             deltaWithOp.filter(col("op") =!= "d"), mergedSchema)
           .withColumn("bucket", bucketCol)
         val out = survivors.select((mergedSchema.fieldNames.toSeq :+ "bucket").map(col): _*)
           .unionByName(upserts.select((mergedSchema.fieldNames.toSeq :+ "bucket").map(col): _*))
-        out
-          .repartition(math.max(1, toMerge.size), col("bucket"))
+        writerPartitioned(out, toMerge.size)
           .write.mode("overwrite")
           .partitionBy("bucket")
           .parquet(s"$root/$snapDir")
@@ -346,13 +409,18 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
       val prevBuckets = prev.map(_.buckets).getOrElse(Map.empty[String, BucketState])
       val epochBuckets = mergedStats.map { s =>
         val key = s.bucket.toString
+        val old = prevBuckets.get(key)
+        // resume point must be monotone: out-of-LSN-order epochs (e.g.
+        // streaming batches whose file order != LSN order) are reconciled at
+        // read time, but lastLsn moving backwards would make a resume-by-LSN
+        // driver re-read or skip ranges
+        val lsnHighWater = math.max(old.map(_.lastLsn).getOrElse(-1L), s.maxLsn)
         val st =
-          if (mode == "mor") {
-            val old = prevBuckets.get(key)
-            BucketState(old.map(_.dir).getOrElse(""), epochId, s.maxLsn,
+          if (mode == "mor")
+            BucketState(old.map(_.dir).getOrElse(""), epochId, lsnHighWater,
               old.map(_.schemaId).getOrElse(schemaId),
               old.map(_.deltas).getOrElse(Seq.empty) :+ DeltaRef(snapDir, schemaId))
-          } else BucketState(snapDir, epochId, s.maxLsn, schemaId)
+          else BucketState(snapDir, epochId, lsnHighWater, schemaId)
         key -> st
       }.toMap
       pendingBuckets = pendingBuckets ++ epochBuckets
@@ -379,14 +447,16 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
   /** Rewrite the reconciled state of the given buckets (default: all buckets
     * with deltas) as a fresh base snapshot; clears their delta stacks. */
   def compact(only: Option[Set[Int]] = None): Unit = {
+    // compaction reads the DURABLE manifest; staged epochs would be silently
+    // dropped from the rewritten base — flush before compacting
+    require(!hasPending, "compact() with staged uncommitted epochs would drop them; flush first")
     val m = loadManifest().getOrElse(return)
     val targets = m.buckets.toSeq.map { case (k, v) => (k.toInt, v) }
       .filter { case (b, st) => st.deltas.nonEmpty && only.forall(_.contains(b)) }
     if (targets.isEmpty) return
     val bucketSet = targets.map(_._1).toSet
     val compDir = s"data/compact-${m.version + 1}"
-    readBuckets(Some(bucketSet))
-      .repartition(math.max(1, bucketSet.size), col("bucket"))
+    writerPartitioned(readBuckets(Some(bucketSet)), bucketSet.size)
       .write.mode("overwrite")
       .partitionBy("bucket")
       .parquet(s"$root/$compDir")
@@ -397,8 +467,13 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
     commitManifest(m.copy(version = m.version + 1, buckets = updated))
   }
 
-  /** Delete snapshot directories no longer referenced by the manifest. */
-  def vacuum(): Int = loadManifest() match {
+  /** Delete snapshot directories no longer referenced by the manifest.
+    * Refuses to run with staged uncommitted epochs: their snap-/delta- dirs
+    * are not yet referenced by the durable manifest and would be deleted,
+    * then published — permanent data loss. */
+  def vacuum(): Int = {
+    require(!hasPending, "vacuum() with staged uncommitted epochs would delete their data; flush first")
+    loadManifest() match {
     case None => 0
     case Some(m) =>
       val live = m.buckets.values.flatMap(st => st.dir +: st.deltas.map(_.dir)).toSet
@@ -410,7 +485,7 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
         dead.foreach(p => fs.delete(p, true))
         dead.length
       }
-  }
+  }}
 
   /** Deterministic per-row digest for final-state verification:
     * sha256 over the full row (north rule: per-row content sha256 equality). */
@@ -436,6 +511,11 @@ object SnapshotTable {
   case class BucketState(dir: String, lastEpoch: Long, lastLsn: Long, schemaId: Int,
                          deltas: Seq[DeltaRef] = Seq.empty)
 
+  /** Committed-epoch ledger = contiguous-prefix watermark + small recent set:
+    * `epochs` holds ONLY ids beyond `epochWatermark` (out-of-order commits,
+    * e.g. interleaved incremental-snapshot chunks); everything `<= watermark`
+    * is committed. Keeps the per-commit manifest O(recent), not O(all epochs)
+    * — at 10^5 epochs a flat Seq[Long] rewritten per commit is quadratic. */
   case class Manifest(
       version: Long,
       numBuckets: Int,
@@ -445,8 +525,27 @@ object SnapshotTable {
       // jackson-module-scala erases Seq[Long] to boxed Integer for small
       // values; contentAs pins the element type (fencing depends on it)
       @com.fasterxml.jackson.databind.annotation.JsonDeserialize(contentAs = classOf[java.lang.Long])
-      epochs: Seq[Long])
+      epochs: Seq[Long],
+      epochWatermark: Long = -1L) {
 
-  case class BucketMergeStat(bucket: Int, firstLsn: Long, maxLsn: Long, rows: Long, bytes: Long)
+    def containsEpoch(e: Long): Boolean = e <= epochWatermark || epochs.contains(e)
+
+    def maxEpoch: Option[Long] = {
+      val m = (epochs :+ epochWatermark).max
+      if (m < 0) None else Some(m)
+    }
+
+    /** Absorb the contiguous prefix of `epochs` into the watermark. */
+    def normalized: Manifest = {
+      val recent = epochs.filter(_ > epochWatermark).distinct.sorted
+      var w = epochWatermark
+      var rest = recent
+      while (rest.nonEmpty && rest.head == w + 1) { w = rest.head; rest = rest.tail }
+      copy(epochs = rest, epochWatermark = w)
+    }
+  }
+
+  case class BucketMergeStat(bucket: Int, firstLsn: Long, maxLsn: Long, rows: Long, bytes: Long,
+                             keyBytes: Long = 0L)
   case class MergeResult(epochId: Long, applied: Boolean, stats: Seq[BucketMergeStat])
 }

@@ -32,6 +32,14 @@ object StreamingCdc {
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
         engine.applyEpoch(batch, epochId)
+        // In streaming, staged (deferred-policy) epochs MUST become durable
+        // before this callback returns: Spark's checkpoint marks the batch
+        // committed at return and will never re-deliver it, so a staged
+        // epoch lost to a crash would be lost forever (unlike batch replay,
+        // where deterministic regeneration re-applies it). Deferred commit
+        // policies therefore degrade to per-batch flush here — the price of
+        // exactly-once over a non-replayable delivery channel.
+        engine.flush()
         ()
       }
       .start()

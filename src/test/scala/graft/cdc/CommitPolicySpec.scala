@@ -41,7 +41,7 @@ class CommitPolicySpec extends SparkTestBase {
     // epoch 1: policy fires -> one manifest covering both epochs
     engine.applyEpoch(EventGen.events(spark, 5000, 10000, gen), 1L)
     val m = table.loadManifest().get
-    assert(m.epochs.toSet == Set(0L, 1L) && !table.hasPending)
+    assert(m.epochWatermark == 1L && m.epochs.isEmpty && !table.hasPending)
     val want = digests(EventGen.finalState(spark, 0, 10000, gen))
     val got = digests(table.read())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
@@ -57,14 +57,14 @@ class CommitPolicySpec extends SparkTestBase {
     e1.applyEpoch(EventGen.events(spark, 10000, 15000, gen), 2L) // staged only
     // "crash": new table instance, staged state gone
     val t2 = new SnapshotTable(spark, root, 4)
-    assert(t2.loadManifest().get.epochs.toSet == Set(0L, 1L))
+    assert(t2.loadManifest().get.epochWatermark == 1L)
     assert(!t2.isCommitted(2L), "staged epoch must not fence after crash")
     // replay driver re-runs everything; 0+1 fence, 2 re-applies, final flush
     val e2 = new CdcEngine(spark, t2,
       EngineConfig(numBuckets = 4, commitPolicy = CommitPolicy.everyNEpochs(2)))
     val stats = e2.replayGenerated(0, 15000, 3, gen)
     assert(stats.fencedEpochs == 2)
-    assert(t2.loadManifest().get.epochs.toSet == Set(0L, 1L, 2L))
+    assert(t2.loadManifest().get.epochWatermark == 2L)
     val want = digests(EventGen.finalState(spark, 0, 15000, gen))
     val got = digests(t2.read())
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)

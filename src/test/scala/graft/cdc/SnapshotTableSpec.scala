@@ -1,0 +1,121 @@
+package graft.cdc
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Durability/safety contract of the snapshot table: versioned atomic
+  * manifests, fail-fast reopen validation, pending-safe maintenance ops,
+  * monotone resume LSN, sub-bucketed write fan-out, epoch watermark. */
+class SnapshotTableSpec extends SparkTestBase {
+
+  private val gen = GenConfig(numKeys = 400, hotKeys = 8)
+
+  test("versioned manifest: one file per commit, max version wins, no delete window") {
+    val root = tmpDir("manif")
+    val table = new SnapshotTable(spark, root, 4)
+    val engine = new CdcEngine(spark, table, EngineConfig(numBuckets = 4))
+    engine.applyEpoch(EventGen.events(spark, 0, 3000, gen), 0L)
+    engine.applyEpoch(EventGen.events(spark, 3000, 6000, gen), 1L)
+    val files = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.matches("manifest-v\\d+\\.json")).sorted
+    assert(files.length == 2, s"expected 2 manifest versions, got: ${files.mkString(",")}")
+    assert(table.loadManifest().get.version == 1L)
+    // a stale tmp or junk file must not confuse the reader
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, ".manifest-v99.json.tmp"), "{garbage")
+    assert(table.loadManifest().get.version == 1L)
+  }
+
+  test("old manifest versions are pruned, keeping the newest 3") {
+    val root = tmpDir("manifprune")
+    val table = new SnapshotTable(spark, root, 2)
+    val engine = new CdcEngine(spark, table, EngineConfig(numBuckets = 2))
+    (0 until 5).foreach(i =>
+      engine.applyEpoch(EventGen.events(spark, i * 1000L, (i + 1) * 1000L, gen), i.toLong))
+    val files = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.matches("manifest-v\\d+\\.json"))
+    assert(files.length == 3, s"got: ${files.sorted.mkString(",")}")
+    assert(table.loadManifest().get.version == 4L)
+  }
+
+  test("reopening with a different numBuckets fails fast") {
+    val root = tmpDir("buckets")
+    val table = new SnapshotTable(spark, root, 4)
+    new CdcEngine(spark, table, EngineConfig(numBuckets = 4))
+      .applyEpoch(EventGen.events(spark, 0, 2000, gen), 0L)
+    val ex = intercept[IllegalArgumentException](new SnapshotTable(spark, root, 8))
+    assert(ex.getMessage.contains("numBuckets"))
+  }
+
+  test("vacuum/compact refuse to run with staged uncommitted epochs") {
+    val root = tmpDir("pendingsafe")
+    val table = new SnapshotTable(spark, root, 4, mode = "mor")
+    val engine = new CdcEngine(spark, table,
+      EngineConfig(numBuckets = 4, commitPolicy = CommitPolicy.everyNEpochs(100)))
+    engine.applyEpoch(EventGen.events(spark, 0, 2000, gen), 0L)
+    assert(table.hasPending)
+    intercept[IllegalArgumentException](table.vacuum())
+    intercept[IllegalArgumentException](table.compact())
+    engine.flush()
+    table.vacuum() // now safe
+  }
+
+  test("MOR resume LSN is monotone under out-of-order epoch application") {
+    val root = tmpDir("morlsn")
+    val table = new SnapshotTable(spark, root, 1, mode = "mor")
+    // epoch 0 carries HIGHER lsns than epoch 1 (file order != LSN order)
+    table.merge(Dedup.lastPerKey(
+      EventGen.events(spark, 5000, 6000, gen), Model.keyCols, "lsn"), 0L)
+    val after0 = table.loadManifest().get.buckets("0").lastLsn
+    table.merge(Dedup.lastPerKey(
+      EventGen.events(spark, 0, 1000, gen), Model.keyCols, "lsn"), 1L)
+    val after1 = table.loadManifest().get.buckets("0").lastLsn
+    assert(after0 == 5999L && after1 == 5999L,
+      s"lastLsn must not move backwards: $after0 -> $after1")
+  }
+
+  test("write fan-out: a bucket's rows spread over filesPerBucket writer tasks") {
+    val root = tmpDir("fanout")
+    val table = new SnapshotTable(spark, root, 2, filesPerBucket = 4)
+    new CdcEngine(spark, table, EngineConfig(numBuckets = 2))
+      .applyEpoch(EventGen.events(spark, 0, 40000, GenConfig(numKeys = 20000)), 0L)
+    val perBucket = new java.io.File(s"$root/data/snap-0").listFiles()
+      .filter(_.isDirectory)
+      .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(perBucket.nonEmpty)
+    perBucket.foreach { case (b, n) =>
+      assert(n > 1, s"bucket $b written by a single task ($n files) despite fanout=4")
+      assert(n <= 4, s"bucket $b has $n files > fanout")
+    }
+  }
+
+  test("epoch watermark absorbs contiguous ids; out-of-order ids wait in the recent set") {
+    import SnapshotTable.Manifest
+    val m0 = Manifest(0, 1, Map.empty, 0, Map.empty, Seq(0L, 1L, 2L)).normalized
+    assert(m0.epochWatermark == 2L && m0.epochs.isEmpty)
+    val m1 = Manifest(0, 1, Map.empty, 0, Map.empty, Seq(0L, 2L)).normalized
+    assert(m1.epochWatermark == 0L && m1.epochs == Seq(2L))
+    assert(m1.containsEpoch(0L) && m1.containsEpoch(2L) && !m1.containsEpoch(1L))
+    val m2 = m1.copy(epochs = m1.epochs :+ 1L).normalized
+    assert(m2.epochWatermark == 2L && m2.epochs.isEmpty)
+  }
+
+  test("crash between data write and manifest commit leaves previous version intact") {
+    val root = tmpDir("crashpoint")
+    val table = new SnapshotTable(spark, root, 2)
+    val engine = new CdcEngine(spark, table, EngineConfig(numBuckets = 2))
+    engine.applyEpoch(EventGen.events(spark, 0, 2000, gen), 0L)
+    val v0 = table.loadManifest().get
+    // simulate a crashed attempt at the NEXT version: partial file on disk
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, f"manifest-v${1L}%020d.json"), "{\"version\": 1, truncated")
+    val reopened = new SnapshotTable(spark, root, 2)
+    assert(reopened.loadManifest().get.version == v0.version,
+      "reader must fall back past an unparseable top version")
+    // and the next real commit supersedes the garbage
+    new CdcEngine(spark, reopened, EngineConfig(numBuckets = 2))
+      .applyEpoch(EventGen.events(spark, 2000, 4000, gen), 1L)
+    assert(reopened.loadManifest().get.version == 1L)
+    assert(reopened.isCommitted(0L) && reopened.isCommitted(1L))
+  }
+}

@@ -35,13 +35,64 @@ class StreamingCdcSpec extends SparkTestBase {
     // restart with the SAME checkpoint after new data arrives: only the new
     // chunk is processed, nothing is double-applied
     writeChunk(eventsDir, 16000, 24000)
-    val epochsBefore = table.loadManifest().get.epochs.size
+    val epochsBefore = table.loadManifest().get.epochWatermark
     val q2 = StreamingCdc.start(spark, engine, eventsDir, ckpt, maxFilesPerTrigger = 2)
     try q2.processAllAvailable() finally q2.stop()
     val want2 = digests(EventGen.finalState(spark, 0, 24000, gen))
     val got2 = digests(table.read())
     assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
-    assert(table.loadManifest().get.epochs.size > epochsBefore)
+    assert(table.loadManifest().get.epochWatermark > epochsBefore)
+  }
+
+  test("crash between micro-batches under a deferred commit policy loses nothing") {
+    // Spark's checkpoint marks a batch committed once foreachBatch returns
+    // and never re-delivers it; if the manifest flush were deferred by the
+    // policy, a crash would lose the staged epoch FOREVER (zero-once). The
+    // streaming front-end therefore flushes before returning — this test
+    // kills the pipeline between micro-batches and proves convergence.
+    val eventsDir = tmpDir("ev")
+    val ckpt = tmpDir("ckpt")
+    val root = tmpDir("snap")
+    val deferred = EngineConfig(numBuckets = 4,
+      commitPolicy = CommitPolicy.periodic(3600 * 1000L)) // would never fire
+    val t1 = new SnapshotTable(spark, root, 4)
+    val e1 = new CdcEngine(spark, t1, deferred)
+    writeChunk(eventsDir, 0, 8000)
+    val q1 = StreamingCdc.start(spark, e1, eventsDir, ckpt, maxFilesPerTrigger = 2)
+    try q1.processAllAvailable() finally q1.stop()
+    // "crash": discard engine + table instances (staged state would die here)
+    val t2 = new SnapshotTable(spark, root, 4)
+    assert(t2.loadManifest().nonEmpty,
+      "epoch applied before the crash must already be durable")
+    writeChunk(eventsDir, 8000, 16000)
+    val e2 = new CdcEngine(spark, t2, deferred)
+    val q2 = StreamingCdc.start(spark, e2, eventsDir, ckpt, maxFilesPerTrigger = 2)
+    try q2.processAllAvailable() finally q2.stop()
+    val want = digests(EventGen.finalState(spark, 0, 16000, gen))
+    val got = digests(new SnapshotTable(spark, root, 4).read())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("health listener tracks lifecycle + liveness (reference ConnectorLifecycle)") {
+    val eventsDir = tmpDir("ev")
+    val table = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 4)
+    val engine = new CdcEngine(spark, table)
+    val health = HealthListener.attach(spark, expected = 1)
+    try {
+      writeChunk(eventsDir, 0, 4000)
+      val q = StreamingCdc.start(spark, engine, eventsDir, tmpDir("ckpt"), 2)
+      try {
+        q.processAllAvailable()
+        assert(health.healthy, "all expected engines live => UP")
+      } finally q.stop()
+      // listener events are delivered async; poll for the termination event
+      val deadline = System.currentTimeMillis() + 10000
+      while (health.healthy && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(!health.healthy, "engine stopped => DOWN")
+      assert(health.lifecycleCounts == ((1L, 1L)))
+      assert(health.totalRowsProcessed >= 4000L)
+      assert(health.completionFailure.isEmpty)
+    } finally spark.streams.removeListener(health)
   }
 
   test("checkpoint wipe (re-delivery of all batches) is fenced to a no-op") {
