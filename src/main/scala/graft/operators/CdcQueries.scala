@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+import graft.cdc.Envelope
 
 /**
  * The reference's dataflow operators (SURVEY.md §2), each exposed as a named
@@ -152,6 +154,43 @@ object CdcQueries {
         .orderBy("user_id", "session_no")
     }),
 
+    // T2/F1 the REAL Debezium envelope: build the nested
+    // {before, after, source{...}, op, ts_ms} JSON with YB {value,set} cells
+    // (reference S3ConsumerIT.java:117-144 + YBExtractNewRecordState,
+    // ServerApp.java:167-178), then decode it back via from_json + cell
+    // normalization + flatten — the ingestion path a user pointing this
+    // engine at actual Debezium output exercises first
+    "cdc_envelope_decode" -> ((s, d) => {
+      val payload = StructType(Seq(
+        StructField("user_id", LongType), StructField("k", IntegerType)))
+      val imgType = Envelope.imageSchema(payload, ybCells = true)
+      val op = when(col("event_type") === "error", "d")
+        .when(col("event_type") === "click", "u").otherwise(lit("c"))
+      val after = struct(
+        struct(col("user_id").as("value"), lit(true).as("set")).as("user_id"),
+        struct(get_json_object(col("props"), "$.k").cast("int").as("value"),
+          lit(true).as("set")).as("k"))
+      val wire = ev(s, d).select(col("event_id"),
+        to_json(struct(
+          lit(null).cast(imgType).as("before"),
+          when(op === "d", lit(null).cast(imgType)).otherwise(after).as("after"),
+          struct(lit("1.9.5.y.220").as("version"), lit("yugabytedb").as("connector"),
+            lit("graft").as("name"), unix_millis(col("ts").cast("timestamp")).as("ts_ms"),
+            lit("yugabyte").as("db"), lit("public").as("schema"), lit("events").as("table"),
+            (col("event_id") / 16).cast("long").as("txId"),
+            col("event_id").as("lsn")).as("source"),
+          op.as("op"), unix_millis(col("ts").cast("timestamp")).as("ts_ms"))).as("value"))
+      val j = from_json(col("value"), Envelope.envelopeSchema(payload, ybCells = true))
+      wire.select(col("event_id"),
+          j("op").as("op"),
+          j("source")("lsn").as("lsn"),
+          j("source")("txId").as("txid"),
+          when(j("after")("user_id")("set") === true, j("after")("user_id")("value")).as("user_id"),
+          when(j("after")("k")("set") === true, j("after")("k")("value")).as("k"),
+          j("ts_ms").as("ts_ms"))
+        .orderBy("event_id")
+    }),
+
     // F5 time-pattern path rendering ({YEAR}/{MONTH}/... object naming,
     // deterministic — no UUID, see SURVEY §7.3)
     "cdc_time_path" -> ((s, d) =>
@@ -238,6 +277,33 @@ object CdcQueries {
         |SELECT user_id, session_no, count(*) AS n_events,
         |       min(event_id) AS first_lsn, max(event_id) AS last_lsn
         |FROM g GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+    "cdc_envelope_decode" ->
+      """WITH wire AS (
+        |  SELECT event_id,
+        |    to_json(struct_pack(
+        |      "before" := CAST(NULL AS INTEGER),
+        |      "after" := CASE WHEN event_type = 'error' THEN NULL ELSE struct_pack(
+        |          "user_id" := struct_pack("value" := user_id, "set" := true),
+        |          "k" := struct_pack("value" := CAST(json_extract_string(props, '$.k') AS INTEGER),
+        |                             "set" := true)) END,
+        |      "source" := struct_pack("version" := '1.9.5.y.220', "connector" := 'yugabytedb',
+        |          "name" := 'graft', "ts_ms" := epoch_ms(ts), "db" := 'yugabyte',
+        |          "schema" := 'public', "table" := 'events',
+        |          "txId" := CAST(floor(event_id / 16) AS BIGINT), "lsn" := event_id),
+        |      "op" := CASE WHEN event_type = 'error' THEN 'd'
+        |                   WHEN event_type = 'click' THEN 'u' ELSE 'c' END,
+        |      "ts_ms" := epoch_ms(ts))) AS value
+        |  FROM events)
+        |SELECT event_id,
+        |  json_extract_string(value, '$.op') AS op,
+        |  CAST(json_extract(value, '$.source.lsn') AS BIGINT) AS lsn,
+        |  CAST(json_extract(value, '$.source.txId') AS BIGINT) AS txid,
+        |  CASE WHEN json_extract_string(value, '$.after.user_id.set') = 'true'
+        |       THEN CAST(json_extract(value, '$.after.user_id.value') AS BIGINT) END AS user_id,
+        |  CASE WHEN json_extract_string(value, '$.after.k.set') = 'true'
+        |       THEN CAST(json_extract(value, '$.after.k.value') AS INTEGER) END AS k,
+        |  CAST(json_extract(value, '$.ts_ms') AS BIGINT) AS ts_ms
+        |FROM wire ORDER BY event_id""".stripMargin,
     "cdc_time_path" ->
       """SELECT event_id,
         |       CAST(year(ts) AS VARCHAR) || '/' || lpad(CAST(month(ts) AS VARCHAR), 2, '0')
