@@ -41,7 +41,11 @@ final case class EngineConfig(
     lateMaterialize: Boolean = true,
     // A1 Roller / flush.records equivalent: caps parquet file size on the
     // snapshot write (reference StorageSinkConnectorConfig.java:31-38)
-    maxRecordsPerFile: Long = 0L
+    maxRecordsPerFile: Long = 0L,
+    // F2 format selection (reference cdcsdk.server.format.{key,value},
+    // ServerApp.java:152-161): wire format used by WireSink delivery —
+    // "json" | "avro" | "proto" | "cloudevents"
+    format: String = graft.formats.WireFormat.Json
 )
 
 class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfig = EngineConfig()) {

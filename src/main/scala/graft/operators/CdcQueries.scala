@@ -154,6 +154,39 @@ object CdcQueries {
         .orderBy("user_id", "session_no")
     }),
 
+    // F1 Avro wire format round trip: registry-framed binary encode (magic +
+    // schema id + avro body) then decode — values must survive bit-exactly
+    "cdc_roundtrip_avro" -> ((s, d) => {
+      val payload = ev(s, d).select(col("event_id"), col("event_type").as("op"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
+      val pt = StructType(Seq("op", "k", "v").map(payload.schema(_)))
+      val wire = graft.formats.AvroWire.encode(payload, Seq("op", "k", "v"), 0,
+        keep = Seq("event_id"))
+      graft.formats.AvroWire.decode(wire, Map(0 -> pt), 0, keep = Seq("event_id"))
+        .orderBy("event_id")
+    }),
+
+    // F1 protobuf wire format round trip (proto3 wire encoding: zigzag
+    // varints, fixed64 doubles, length-delimited strings; absent = NULL)
+    "cdc_roundtrip_proto" -> ((s, d) => {
+      val payload = ev(s, d).select(col("event_id"), col("event_type").as("op"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
+      val pt = StructType(Seq("op", "k", "v").map(payload.schema(_)))
+      val wire = graft.formats.ProtoWire.encode(payload, Seq("op", "k", "v"), 0,
+        keep = Seq("event_id"))
+      graft.formats.ProtoWire.decode(wire, Map(0 -> pt), 0, keep = Seq("event_id"))
+        .orderBy("event_id")
+    }),
+
+    // F1 CloudEvents 1.0 JSON envelope (the fourth converter family)
+    "cdc_cloudevents" -> ((s, d) =>
+      ev(s, d).select(col("event_id"),
+          graft.formats.WireFormat.cloudEvents(
+            struct(col("event_id").as("lsn"), col("event_type").as("op"),
+              coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(-1)).as("k")),
+            col("event_id"), "graft.cdc.change").as("wire"))
+        .orderBy("event_id")),
+
     // T2/F1 the REAL Debezium envelope: build the nested
     // {before, after, source{...}, op, ts_ms} JSON with YB {value,set} cells
     // (reference S3ConsumerIT.java:117-144 + YBExtractNewRecordState,
@@ -277,6 +310,27 @@ object CdcQueries {
         |SELECT user_id, session_no, count(*) AS n_events,
         |       min(event_id) AS first_lsn, max(event_id) AS last_lsn
         |FROM g GROUP BY user_id, session_no ORDER BY user_id, session_no""".stripMargin,
+    "cdc_roundtrip_avro" ->
+      """SELECT event_id, event_type AS op,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value AS v
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_roundtrip_proto" ->
+      """SELECT event_id, event_type AS op,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value AS v
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_cloudevents" ->
+      """SELECT event_id,
+        |       to_json(struct_pack(
+        |         "specversion" := '1.0',
+        |         "id" := CAST(event_id AS VARCHAR),
+        |         "source" := '/graft/cdc',
+        |         "type" := 'graft.cdc.change',
+        |         "datacontenttype" := 'application/json',
+        |         "data" := struct_pack(
+        |           "lsn" := event_id, "op" := event_type,
+        |           "k" := coalesce(CAST(json_extract_string(props, '$.k') AS INTEGER), -1))
+        |       ))::VARCHAR AS wire
+        |FROM events ORDER BY event_id""".stripMargin,
     "cdc_envelope_decode" ->
       """WITH wire AS (
         |  SELECT event_id,

@@ -1,0 +1,86 @@
+package graft.formats
+
+import graft.SparkTestBase
+import graft.cdc.{EventGen, GenConfig, Model}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Key/value converter family (reference F1/F2): Avro + protobuf-wire +
+  * CloudEvents + JSON, with registry-framed headers and schema-id routing. */
+class WireFormatSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val gen = GenConfig(numKeys = 300, hotKeys = 4)
+  private def events = EventGen.events(spark, 0, 3000, gen)
+  private val payloadCols = Seq("op", "repo", "path", "commit", "lang", "content", "ts_ms")
+  private def payloadType(df: org.apache.spark.sql.DataFrame) =
+    StructType(payloadCols.map(df.schema(_)))
+
+  private def roundtrip(format: String): Unit = {
+    val ev = events
+    val pt = payloadType(ev)
+    val wire = WireFormat.encode(ev, format, payloadCols, 0, keep = Seq("lsn"))
+    val back = WireFormat.decode(wire, format, Map(0 -> pt), 0, keep = Seq("lsn"))
+    val want = ev.select("lsn", payloadCols: _*)
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty,
+      s"$format round trip must be the identity (nulls on deletes included)")
+  }
+
+  test("avro round trip (nullable unions, registry header)")(roundtrip(WireFormat.Avro))
+  test("proto round trip (zigzag varints, absent-field nulls)")(roundtrip(WireFormat.Proto))
+  test("json round trip")(roundtrip(WireFormat.Json))
+  test("cloudevents round trip")(roundtrip(WireFormat.CloudEvents))
+
+  test("wire headers carry the schema id; magic bytes differ per format") {
+    val ev = events.limit(10)
+    val a = AvroWire.encode(ev, payloadCols, 7).select("wire").as[Array[Byte]].head()
+    val p = ProtoWire.encode(ev, payloadCols, 9).select("wire").as[Array[Byte]].head()
+    assert(a(0) == 0x00.toByte && AvroWire.headerSchemaId(a) == 7)
+    assert(p(0) == 0x01.toByte && ProtoWire.headerSchemaId(p) == 9)
+    intercept[IllegalArgumentException](AvroWire.headerSchemaId(p))
+  }
+
+  test("proto zigzag survives negative integers") {
+    val df = Seq((-5L, -1, "x"), (Long.MinValue + 1, Int.MinValue, "y"))
+      .toDF("a", "b", "c")
+    val pt = StructType(Seq("a", "b", "c").map(df.schema(_)))
+    val back = ProtoWire.decode(ProtoWire.encode(df, Seq("a", "b", "c"), 0),
+      Map(0 -> pt), 0)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("avro schema evolution: v0-written records decode at a v1 reader schema") {
+    val ev = events
+    val v0 = payloadType(ev)
+    val v1 = StructType(v0.fields :+ StructField("stars", IntegerType, nullable = true))
+    val wire = AvroWire.encode(ev, payloadCols, 0, keep = Seq("lsn"))
+    val back = AvroWire.decode(wire, Map(0 -> v0, 1 -> v1), 1, keep = Seq("lsn"))
+    assert(back.columns.contains("stars"))
+    assert(back.filter(col("stars").isNotNull).isEmpty,
+      "added column must read as NULL from v0 records")
+    assert(back.count() == ev.count())
+  }
+
+  test("WireSink: format-selected delivery with rollover, read-back equality") {
+    Seq(WireFormat.Json, WireFormat.Avro, WireFormat.Proto).foreach { fmt =>
+      val root = tmpDir(s"wiresink-$fmt")
+      val conf = graft.cdc.EngineConfig(format = fmt)
+      val sink = new WireSink(spark, root, conf.format, maxRecordsPerFile = 500L)
+      val ev = events.withColumn("lsn2", col("lsn"))
+      val n = sink.writeEpoch(ev, 0L, payloadCols :+ "lsn2")
+      assert(n == 3000L)
+      val files = new java.io.File(sink.epochDir(0L)).listFiles()
+        .count(f => f.getName.startsWith("part-"))
+      assert(files > 1, s"$fmt: rollover must split files (got $files)")
+      // the registry entry must be the TRUE written schema (incl. nullability
+      // — avro unions are positional)
+      val ptFull = StructType((payloadCols :+ "lsn2").map(ev.schema(_)))
+      val back = WireFormat.decode(
+        (if (fmt == WireFormat.Json) spark.read.text(sink.epochDir(0L)).withColumnRenamed("value", "wire")
+         else spark.read.parquet(sink.epochDir(0L))),
+        fmt, Map(0 -> ptFull), 0)
+      val want = ev.select((payloadCols.map(col) :+ col("lsn").as("lsn2")): _*)
+      assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty, s"$fmt sink")
+    }
+  }
+}
