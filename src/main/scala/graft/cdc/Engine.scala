@@ -112,8 +112,70 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
     if (res.applied) res.stats.map(_.rows).sum else -1L
   }
 
+  // ---- ad-hoc incremental snapshot (reference S7) --------------------------
+  // A signal requests a chunked re-read of selected keys, interleaved with
+  // the stream and made consistent by an LSN watermark: every snapshot row
+  // carries lsn = watermark-1, so any stream event at/after the watermark
+  // wins the per-key max-LSN merge and the re-delivered old image can never
+  // clobber newer data — the DBLog-style algorithm behind Debezium's
+  // execute-snapshot signal (reference
+  // cdcsdk-engine/src/test/java/io/debezium/pipeline/source/snapshot/incremental/AbstractIncrementalSnapshotTest.java:124-184).
+  // The signal queue is driver state (the reference keeps its incremental-
+  // snapshot context in memory too); resume-after-crash = re-issue the signal
+  // with the same baseEpoch — completed chunk epochs fence to no-ops.
+
+  /** @param baseEpoch deterministic epoch-id base for the chunk epochs
+    *        (chunk i commits as epoch baseEpoch + i) — pick a range disjoint
+    *        from stream epochs, e.g. 1_000_000 */
+  case class SnapshotRequest(baseEpoch: Long, selection: org.apache.spark.sql.Column,
+                             numChunks: Int)
+
+  private val pendingSignals = scala.collection.mutable.Queue.empty[SnapshotRequest]
+  private case class ActiveSnapshot(req: SnapshotRequest, var next: Int = 0)
+  private var activeSnapshot: Option[ActiveSnapshot] = None
+
+  /** The `execute-snapshot {data-collections: [...]}` signal: request an
+    * ad-hoc chunked re-snapshot of the keys matching `selection`. */
+  def signalSnapshot(baseEpoch: Long, selection: org.apache.spark.sql.Column,
+                     numChunks: Int = 4): Unit =
+    pendingSignals.enqueue(SnapshotRequest(baseEpoch, selection, numChunks))
+
+  def snapshotInProgress: Boolean = activeSnapshot.nonEmpty || pendingSignals.nonEmpty
+
+  /** One chunk of source state re-read AT the given watermark, as op='r'
+    * events stamped lsn = watermark-1 so every stream event at/after the
+    * watermark outranks them in the per-key max-LSN merge. */
+  private def chunkEvents(watermark: Long, gen: GenConfig,
+                          req: SnapshotRequest, i: Int): DataFrame =
+    EventGen.finalState(spark, 0, watermark, gen) // ≡ chunked SELECT vs live table
+      .filter(req.selection)
+      .filter(pmod(hash(Model.keyCols.map(col): _*), lit(req.numChunks)) === i)
+      .select(lit(watermark - 1).as("lsn"), lit("r").as("op"),
+        col("repo"), col("path"), col("commit"), col("lang"), col("content"),
+        lit(0).as("schemaId"), (lit(1704067200000L) + lit(watermark) * 10L).as("ts_ms"))
+
+  private def maybeActivateSnapshot(): Unit =
+    if (activeSnapshot.isEmpty && pendingSignals.nonEmpty)
+      activeSnapshot = Some(ActiveSnapshot(pendingSignals.dequeue()))
+
+  /** Apply ONE snapshot chunk at the CURRENT stream watermark (the
+    * interleave step). DBLog-style: each chunk re-reads the live source with
+    * its own fresh watermark, so a chunk can never re-deliver an image older
+    * than stream events already applied — no pinned stale state. */
+  private def advanceSnapshot(watermark: Long, gen: GenConfig): Boolean = activeSnapshot match {
+    case None => false
+    case Some(run) =>
+      applyEpoch(chunkEvents(watermark, gen, run.req, run.next),
+        run.req.baseEpoch + run.next)
+      run.next += 1
+      if (run.next >= run.req.numChunks) activeSnapshot = None
+      true
+  }
+
   /** Replay generated events for lsn in [lo, hi) in `epochs` equal chunks,
-    * resuming past already-committed epochs. */
+    * resuming past already-committed epochs. Queued snapshot signals
+    * activate at the next epoch boundary and interleave one chunk per
+    * stream epoch (remaining chunks drain at the end). */
   def replayGenerated(lo: Long, hi: Long, epochs: Int, gen: GenConfig = GenConfig()): ReplayStats = {
     require(epochs > 0 && hi > lo)
     val chunk = math.max(1L, (hi - lo + epochs - 1) / epochs)
@@ -123,13 +185,20 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
     var cursor = lo
     while (cursor < hi) {
       val end = math.min(hi, cursor + chunk)
+      // epoch id = LSN chunk index (not loop index): deterministic across
+      // partial/resumed runs over different [lo, hi) windows of the same
+      // stream, so fencing lines up with WHAT was applied, not when
+      val epochId = cursor / chunk
       val n =
-        if (conf.lateMaterialize) applyEpochLateMat(cursor, end, i.toLong, gen)
-        else applyEpoch(EventGen.events(spark, cursor, end, gen), i.toLong)
+        if (conf.lateMaterialize) applyEpochLateMat(cursor, end, epochId, gen)
+        else applyEpoch(EventGen.events(spark, cursor, end, gen), epochId)
       if (n < 0) skipped += 1 else applied += n
       cursor = end
       i += 1
+      maybeActivateSnapshot()
+      advanceSnapshot(cursor, gen)
     }
+    while (advanceSnapshot(cursor, gen)) {} // drain remaining snapshot chunks
     flush() // graceful-stop final commit
     ReplayStats(i, skipped, applied)
   }

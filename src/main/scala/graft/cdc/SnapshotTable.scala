@@ -341,8 +341,13 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
       // two long strings can be hundreds of MB
       val deltaKeyBytes = stats.map(s => s.keyBytes + 16 * s.rows).sum
       val affected = stats.map(_.bucket).toSet
+      // (bucket, epochId) fence: skip buckets whose ledger already records
+      // THIS epoch. Equality, not >=: epoch ids need not be monotone in
+      // application order (incremental-snapshot chunk epochs interleave with
+      // smaller stream epoch ids); cross-epoch ordering is the manifest's
+      // containsEpoch job, per-bucket the fence is exact re-delivery.
       val fenced = prev.toSeq.flatMap(_.buckets.toSeq)
-        .filter { case (b, st) => affected.contains(b.toInt) && st.lastEpoch >= epochId }
+        .filter { case (b, st) => affected.contains(b.toInt) && st.lastEpoch == epochId }
         .map(_._1.toInt).toSet
       val toMerge = affected -- fenced
       if (toMerge.isEmpty) return MergeResult(epochId, applied = false, Seq.empty)
