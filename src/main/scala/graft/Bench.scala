@@ -84,46 +84,62 @@ object Bench {
     val nCores = sys.env.getOrElse("SPARK_GRAFT_CDC_N", "1").toInt
 
     // --- query bench over the testdata tables -----------------------------
+    // SPARK_GRAFT_BENCH_ONLY="a,b,c" restricts to named queries (spot runs)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = session(cpus, cpus.toInt)
     // warmup: JVM/codegen/parquet-footer paths, excluded from timings
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val errors = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val elapsed =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+                (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            // a failed query must be visible as a failure, not a fast timing
+            errors += name -> e.toString.take(200).replaceAll("[\"\\n]", " ")
+            -1.0 }
+        name -> elapsed
+      }
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
     // --- CDC replay scaling: interleaved reps at N and 4N cores -----------
-    val ratesN = new scala.collection.mutable.ArrayBuffer[Double]
-    val rates4N = new scala.collection.mutable.ArrayBuffer[Double]
-    (1 to reps).foreach { _ =>
-      ratesN += cdcReplayRate(nCores, cdcEvents)
-      rates4N += cdcReplayRate(nCores * 4, cdcEvents)
+    // (SPARK_GRAFT_CDC_REPS=0 skips the replay block for query-only spot runs)
+    val cdcJson = if (reps <= 0) "null" else {
+      val ratesN = new scala.collection.mutable.ArrayBuffer[Double]
+      val rates4N = new scala.collection.mutable.ArrayBuffer[Double]
+      (1 to reps).foreach { _ =>
+        ratesN += cdcReplayRate(nCores, cdcEvents)
+        rates4N += cdcReplayRate(nCores * 4, cdcEvents)
+      }
+      val rateN = ratesN.max
+      val rate4N = rates4N.max
+      val eff = (rate4N / rateN) / 4.0
+      // headline: full machine (32 cores), one run each mode (cow = rewrite
+      // touched buckets per epoch; mor = Iceberg-style delta append, the
+      // realistic streaming-upsert configuration)
+      val rateFull = cdcReplayRate(32, cdcEvents)
+      val rateFullMor = cdcReplayRate(32, cdcEvents, mode = "mor")
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.0f").mkString("[", ",", "]")
+      f"""{"events":$cdcEvents,"reps":$reps,"n_cores":$nCores,"4n_cores":${nCores * 4},""" +
+        f""""events_per_sec_n":${rateN}%.0f,"events_per_sec_4n":${rate4N}%.0f,""" +
+        f""""rates_n":${arr(ratesN.toSeq)},"rates_4n":${arr(rates4N.toSeq)},""" +
+        f""""scaling_efficiency":${eff}%.3f,"events_per_sec_32core":${rateFull}%.0f,""" +
+        f""""events_per_sec_32core_mor":${rateFullMor}%.0f}"""
     }
-    val rateN = ratesN.max
-    val rate4N = rates4N.max
-    val eff = (rate4N / rateN) / 4.0
-    // headline: full machine (32 cores), one run each mode (cow = rewrite
-    // touched buckets per epoch; mor = Iceberg-style delta append, the
-    // realistic streaming-upsert configuration)
-    val rateFull = cdcReplayRate(32, cdcEvents)
-    val rateFullMor = cdcReplayRate(32, cdcEvents, mode = "mor")
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    def arr(xs: Seq[Double]) = xs.map(x => f"$x%.0f").mkString("[", ",", "]")
-    val cdcJson =
-      f"""{"events":$cdcEvents,"reps":$reps,"n_cores":$nCores,"4n_cores":${nCores * 4},""" +
-      f""""events_per_sec_n":${rateN}%.0f,"events_per_sec_4n":${rate4N}%.0f,""" +
-      f""""rates_n":${arr(ratesN.toSeq)},"rates_4n":${arr(rates4N.toSeq)},""" +
-      f""""scaling_efficiency":${eff}%.3f,"events_per_sec_32core":${rateFull}%.0f,""" +
-      f""""events_per_sec_32core_mor":${rateFullMor}%.0f}"""
+    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cdc":$cdcJson}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"sf":"$sfDir","cdc":$cdcJson}""")
   }
 }

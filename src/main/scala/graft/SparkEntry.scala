@@ -44,5 +44,6 @@ object SparkEntry {
       TextOps.oracles ++
       VectorOps.oracles ++
       DedupOps.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++
+      Fixtures.oracles // fixture-parquet oracles written by graft.Verify
 }

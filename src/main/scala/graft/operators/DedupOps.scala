@@ -6,96 +6,126 @@ import graft.functions.DotQ
 
 /**
  * Near-duplicate detection at training-data scale over `documents` /
- * `embeddings`. These use engine-side hashing (xxhash64) so they have no
- * cross-engine SQL oracle (driver records rows-only checks); correctness is
- * covered by ScalaTest oracles on synthetic near-dup fixtures.
+ * `embeddings`. All hashing is md5-based (identical hex output in Spark and
+ * DuckDB), so every query here is cross-engine oracle-checkable — and the
+ * embedding LSH projections run through the codegen'd `dot_q` against
+ * constant md5-derived planes (graft.functions.Planes), not interpreted
+ * higher-order-function lambdas.
  *
  * Scale shapes (the whole point of each variant):
- *  - MinHash+LSH: shingle -> K minhashes -> B bands -> bucket join. All-pairs
- *    O(N^2) becomes sum over buckets of |bucket|^2, with band buckets capped.
- *  - SimHash: one 64-bit signature per doc, near-dups share a band prefix;
- *    hamming distance check only within band buckets.
+ *  - MinHash+LSH: shingle -> K minhashes -> B bands -> bucket groupBy with a
+ *    size cap -> pair explode. All-pairs O(N^2) becomes sum over buckets of
+ *    |bucket|^2 with |bucket| <= CAP, i.e. <= CAP * |docs| candidates.
+ *  - SimHash: one 64-bit signature per doc (here rendered as 16 hex chars).
  *  - Embedding cosine near-dup: sign-LSH buckets then exact cosine inside.
  */
 object DedupOps {
 
   private val K = 16  // minhash permutations
   private val B = 4   // LSH bands (rows per band = K/B = 4)
+  private val CAP = 64 // max bucket size contributing pairs
 
-  /** word 3-gram shingles as one column of arrays */
-  private def shingles(text: Column): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= 3,
-      transform(sequence(lit(0), size(toks) - 3), i =>
-        concat_ws(" ", get(toks, i), get(toks, i + 1), get(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
+  // Affine minhash permutations over a 28-bit base hash: ONE md5 per shingle
+  // (the expensive part), then minhash_i = (a_i*h + b_i) mod P as cheap
+  // integer arithmetic — K md5 calls per shingle made round-1's successor
+  // SLOWER than the xxhash version it replaced. P = 2^31-1 keeps a_i*h
+  // < 2^59, inside checked 64-bit arithmetic in both engines; constants are
+  // md5-derived and inlined into the oracle SQL (same trick as Planes).
+  private val P = 2147483647L
+  private def permConst(tag: String, i: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$tag:$i".getBytes("UTF-8"))
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) | ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    (v % (P - 1)) + 1
   }
+  private val permA = (0 until K).map(permConst("mh-a", _))
+  private val permB = (0 until K).map(permConst("mh-b", _))
+
+  /** hex-nibble value of char `j` (1-based) of an md5 hex string (Spark:
+    * base conversion; the DuckDB oracle mirrors it via strpos in the hex
+    * alphabet — same 0..15 result) */
+  private def nibble(h: Column, j: Int): Column =
+    conv(substring(h, j, 1), 16, 10).cast("int")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // MinHash signatures + banded LSH candidate pairs + exact-overlap confirm
+    // MinHash signatures + banded LSH candidate pairs + signature-agreement
+    // confirm. Pair generation is a single groupBy(band, bucket) + capped
+    // in-bucket explode (no window pass, no self-join re-shuffle, no fat-row
+    // distinct — the round-1 version spent 11.5 s here on 500 docs).
     "doc_minhash_lsh" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), shingles(col("text")).as("sh"))
-        .filter(size(col("sh")) > 0)
-      val exploded = docs.select(col("doc_id"), explode(col("sh")).as("shingle")).distinct()
-      // K minhashes via per-permutation seeded xxhash64, computed in ONE
-      // aggregation pass (partial agg => no skew on common shingles)
-      val minhashes = exploded.groupBy("doc_id").agg(
-        array((0 until K).map(i =>
-          min(xxhash64(col("shingle"), lit(i))).as(s"h$i")): _*).as("sig"),
-        count(lit(1)).as("n_shingles"))
-      // band key = hash of the band's slice of the signature
-      val banded = minhashes.select(col("doc_id"), col("n_shingles"), col("sig"),
-        explode(array((0 until B).map(b =>
-          struct(lit(b).as("band"),
-            xxhash64(slice(col("sig"), b * (K / B) + 1, K / B).cast("string")).as("bkey")))
-          : _*)).as("bb"))
-        .select(col("doc_id"), col("n_shingles"), col("sig"), col("bb.band"), col("bb.bkey"))
-      // mega-bucket cap: a band bucket with > CAP members contributes
-      // O(CAP^2) candidate pairs; such buckets are near-universal shingle
-      // patterns, not near-duplicates. Standard LSH practice at scale —
-      // bounds the candidate join at sum(|bucket|^2) <= CAP * |docs|.
-      val CAP = 64
-      val bucketW = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
-      val bandedCapped = banded
-        .withColumn("bsize", count(lit(1)).over(bucketW))
-        .filter(col("bsize") <= CAP)
-        .drop("bsize")
-      val a = bandedCapped.as("a"); val bb = bandedCapped.as("b")
-      val cand = a.join(bb,
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      // 3-gram shingles via posexplode + window lead: fully codegen'd
+      // (the HOF transform-over-sequence alternative is interpreted and
+      // cost 4.7 s alone at sf0.1 — see r1 bench post-mortem)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val exploded = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "token")
+        .withColumn("t1", lead("token", 1).over(w))
+        .withColumn("t2", lead("token", 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("token"), col("t1"), col("t2")).as("shingle"))
         .distinct()
-      // estimated jaccard = fraction of agreeing minhashes
-      cand.withColumn("est_jaccard",
-          aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-            lit(0), (acc, x) => acc + x).cast("double") / K)
+      // ONE md5 per shingle -> 28-bit base hash -> K affine permutations,
+      // computed in ONE aggregation pass (partial agg => no skew on common
+      // shingles); conv(hex, 16, 10) mirrors the oracle's nibble expansion
+      val h = conv(substring(md5(col("shingle")), 1, 7), 16, 10).cast("long")
+      val minhashes = exploded.withColumn("h", h).groupBy("doc_id").agg(
+        array((0 until K).map(i =>
+          min((lit(permA(i)) * col("h") + lit(permB(i))) % P).cast("int").as(s"h$i")): _*)
+          .as("sig"))
+      // band key = the band's signature slice rendered as a string
+      def bkey(b: Int): Column = concat_ws("|",
+        (1 to K / B).map(r => element_at(col("sig"), b * (K / B) + r).cast("string")): _*)
+      val banded = minhashes.select(col("doc_id"), col("sig"),
+        explode(array((0 until B).map(b =>
+          struct(lit(b).as("band"), bkey(b).as("bkey"))): _*)).as("bb"))
+        .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bkey"))
+      // ONE shuffle into band buckets; the size cap bounds pair fan-out at
+      // CAP^2 per bucket (over-CAP buckets are near-universal shingle
+      // patterns, not near-duplicates — standard LSH practice at scale)
+      val buckets = banded.groupBy("band", "bkey")
+        .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+        .filter(size(col("members")).between(2, CAP))
+      // in-bucket pair explode with the agreement fraction computed inline;
+      // orientation normalized so the cross-band distinct dedups pairs
+      val pairs = buckets.select(explode(flatten(
+        transform(col("members"), (x, i) =>
+          transform(slice(col("members"), i + lit(2), size(col("members"))), y =>
+            struct(
+              least(x("doc_id"), y("doc_id")).as("doc_a"),
+              greatest(x("doc_id"), y("doc_id")).as("doc_b"),
+              (size(filter(zip_with(x("sig"), y("sig"), (u, v) => u === v),
+                b => b)).cast("double") / K).as("est_jaccard")))))).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("p.est_jaccard"))
+      pairs.distinct()
         .filter(col("est_jaccard") >= 0.5)
-        .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
         .orderBy("doc_a", "doc_b")
     }),
 
-    // 64-bit SimHash per document from token-frequency bit votes
+    // 64-bit SimHash per document from token-frequency bit votes; bits come
+    // from md5 nibbles (portable), output rendered as 16 hex chars
     "doc_simhash" -> ((s, d) => {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
         .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
-        .withColumn("h", xxhash64(col("token")))
-      // per-bit weighted vote: sum(+w if bit set else -w); sign -> bit
+        .withColumn("h", md5(col("token")))
+      // per-bit weighted vote: bit i lives in hex char i/4, position 3-i%4
       val voteCols = (0 until 64).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("w"))
-          .otherwise(-col("w"))).as(s"v$i")
+        val bit = shiftright(nibble(col("h"), i / 4 + 1), 3 - i % 4).bitwiseAND(lit(1))
+        sum(when(bit === 1, col("w")).otherwise(-col("w"))).as(s"v$i")
       }
       val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-      val sim = votes.select(col("doc_id"),
-        (0 until 64).map(i =>
-          when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-      sim.orderBy("doc_id")
+      // sign -> bit; nibble-group the 64 bits back into 16 hex chars
+      val hexChars = (0 until 16).map { j =>
+        val v = (0 until 4).map(b =>
+          when(col(s"v${4 * j + b}") > 0, lit(1 << (3 - b))).otherwise(lit(0)))
+          .reduce(_ + _)
+        lit("0123456789abcdef").substr(v + 1, lit(1))
+      }
+      votes.select(col("doc_id"), concat(hexChars: _*).as("simhash"))
+        .orderBy("doc_id")
     }),
 
     // embedding cosine near-dup pairs above threshold, banded sign-LSH
@@ -106,17 +136,7 @@ object DedupOps {
       DotQ.register(s)
       val e = Tables.embeddings(s, d).select(col("vec_id"),
         transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
-      val bandCols = (0 until 4).map { band =>
-        (0 until 3).map { r =>
-          val p = band * 3 + r
-          val proj = aggregate(
-            zip_with(col("q"), sequence(lit(0), lit(63)),
-              (x, i) => x * when(pmod(xxhash64(lit(p.toLong) * 131071L + i), lit(2)) === 0, 1L)
-                .otherwise(-1L)),
-            lit(0L), (acc, x) => acc + x)
-          when(proj >= 0, lit(1L << r)).otherwise(lit(0L))
-        }.reduce(_ + _).as(s"band$band")
-      }
+      val bandCols = VectorOps.bandSignatures(col("q"), bands = 4, planesPerBand = 3, dim = 64)
       val withSig = e.select((col("vec_id") +: col("q") +: bandCols): _*)
       val banded = withSig.select(col("vec_id"), col("q"),
         explode(array((0 until 4).map(b =>
@@ -138,6 +158,92 @@ object DedupOps {
     })
   )
 
-  /** no cross-engine oracles: xxhash64 is Spark-specific (rows-only check) */
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map(
+    "doc_minhash_lsh" -> {
+      // 28-bit base hash from md5's first 7 hex chars, nibble-expanded
+      val hExpr = (1 to 7).map(j =>
+        s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (7 - j))}")
+        .mkString("(", " + ", ")")
+      val minCols = (0 until K).map(i =>
+        s"CAST(min((${permA(i)} * h + ${permB(i)}) % $P) AS INTEGER) AS m$i")
+        .mkString(",\n         ")
+      val bandKey = (b: Int) => (1 to K / B).map(r => s"CAST(sig[${b * (K / B) + r}] AS VARCHAR)")
+        .mkString(" || '|' || ")
+      val bandSelects = (0 until B).map(b =>
+        s"SELECT doc_id, sig, $b AS band, ${bandKey(b)} AS bkey FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id, t[r.range] || ' ' || t[r.range + 1] || ' ' || t[r.range + 2] AS shingle
+         |  FROM toks CROSS JOIN range(1, 4096) r
+         |  WHERE r.range + 2 <= len(t)),
+         |hh AS (SELECT doc_id, $hExpr AS h FROM (SELECT doc_id, md5(shingle) AS m FROM sh)),
+         |mh AS (
+         |  SELECT doc_id,
+         |         $minCols
+         |  FROM hh GROUP BY doc_id),
+         |sig AS (SELECT doc_id, [${(0 until K).map(i => s"m$i").mkString(", ")}] AS sig FROM mh),
+         |banded AS (
+         |  $bandSelects),
+         |capped AS (
+         |  SELECT band, bkey FROM banded GROUP BY band, bkey
+         |  HAVING count(*) BETWEEN 2 AND $CAP),
+         |cand AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+         |  FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |  JOIN capped c ON c.band = a.band AND c.bkey = a.bkey),
+         |est AS (
+         |  SELECT doc_a, doc_b,
+         |         len(list_filter(range(1, ${K + 1}), i -> sa[i] = sb[i])) / $K.0 AS est_jaccard
+         |  FROM cand)
+         |SELECT DISTINCT doc_a, doc_b, est_jaccard
+         |FROM est WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "doc_simhash" -> {
+      // bit i of md5(token): nibble = strpos in the hex alphabet of char
+      // i/4+1; vote sign per bit, then re-assemble 16 hex chars
+      val votes = (0 until 64).map { i =>
+        val j = i / 4 + 1; val shift = 3 - i % 4
+        s"sum(CASE WHEN (((strpos('0123456789abcdef', substr(h, $j, 1)) - 1) >> $shift) & 1) = 1 THEN w ELSE -w END) AS v$i"
+      }.mkString(",\n    ")
+      val hexChars = (0 until 16).map { j =>
+        val v = (0 until 4).map(b => s"(CASE WHEN v${4 * j + b} > 0 THEN ${1 << (3 - b)} ELSE 0 END)")
+          .mkString(" + ")
+        s"substr('0123456789abcdef', ($v) + 1, 1)"
+      }.mkString(" || ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, token, count(*) AS w, md5(token) AS h
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+         |  WHERE token <> '' GROUP BY doc_id, token),
+         |votes AS (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM toks GROUP BY doc_id)
+         |SELECT doc_id, $hexChars AS simhash
+         |FROM votes ORDER BY doc_id""".stripMargin
+    },
+    "emb_near_dup" -> {
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT vec_id, qv, $b AS band, ${VectorOps.bandSignatureSql("qv", b, 3, 64)} AS bsig FROM q")
+        .mkString("\n  UNION ALL ")
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding, e -> CAST(round(e * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |banded AS (
+         |  $bandSelects),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM banded a
+         |  JOIN banded b ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT c.vec_a, c.vec_b,
+         |         list_dot_product(qa.qv, qb.qv) AS dot,
+         |         list_dot_product(qa.qv, qb.qv) /
+         |           sqrt(1.0 * list_dot_product(qa.qv, qa.qv) * list_dot_product(qb.qv, qb.qv)) AS cos
+         |  FROM cand c JOIN q qa ON qa.vec_id = c.vec_a JOIN q qb ON qb.vec_id = c.vec_b)
+         |SELECT vec_a, vec_b, CAST(dot AS BIGINT) AS dot
+         |FROM scored WHERE cos >= 0.3 ORDER BY vec_a, vec_b""".stripMargin
+    }
+  )
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.DotQ
+import graft.functions.{DotQ, Planes}
 
 /**
  * Similarity search over the `embeddings` table (Array[Float], dim 64).
@@ -31,11 +31,26 @@ object VectorOps {
 
   private def norm2(a: Column): Column = call_function("dot_q", a, a)
 
-  /** deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * xxhash64 mapped to {-1, +1} (same trick is NOT needed in the oracle —
-    * the LSH variant is verified by rows-only check). */
-  private def planeSign(p: Int, i: Column): Column =
-    when(pmod(xxhash64(lit(p.toLong) * 131071L + i), lit(2)) === 0, lit(1L)).otherwise(lit(-1L))
+  /** sign-LSH band signatures from CONSTANT ±1 hyperplanes: one codegen'd
+    * dot_q per plane (no interpreted HOF lambdas), reproducible in the
+    * oracle via inlined list literals (graft.functions.Planes). */
+  private[operators] def bandSignatures(q: Column, bands: Int, planesPerBand: Int,
+                                        dim: Int): Seq[Column] =
+    (0 until bands).map { band =>
+      (0 until planesPerBand).map { r =>
+        val proj = call_function("dot_q", q,
+          typedlit(Planes.vec(band * planesPerBand + r, dim)))
+        when(proj >= 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"band$band")
+    }
+
+  /** DuckDB mirror of [[bandSignatures]] for one band (same constants). */
+  private[operators] def bandSignatureSql(qv: String, band: Int, planesPerBand: Int,
+                                          dim: Int): String =
+    (0 until planesPerBand).map { r =>
+      val plane = Planes.sqlList(band * planesPerBand + r, dim)
+      s"(CASE WHEN list_dot_product($qv, $plane) >= 0 THEN ${1L << r} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force quantized-cosine top-5 for a probe set of queries
@@ -93,22 +108,14 @@ object VectorOps {
     // banded sign-LSH ANN: 4 bands x 4 hyperplanes; a candidate matching the
     // probe in ANY band is scored (OR-amplification: band hit prob for
     // angle θ is (1-θ/π)^4 per band). At 100 TB this replaces the all-pairs
-    // cross join with B per-band-bucket joins. Rows-only check (xxhash64
-    // planes are engine-side); recall vs brute force asserted in VectorSpec.
+    // cross join with B per-band-bucket joins. Constant md5-derived planes
+    // => codegen'd dot_q projections AND a cross-engine DuckDB oracle;
+    // recall vs brute force additionally asserted in OperatorSpec.
     "emb_lsh_ann" -> ((s, d) => {
       DotQ.register(s)
       val e = Tables.embeddings(s, d)
         .select(col("vec_id"), quant(col("embedding")).as("q"))
-      val bandCols = (0 until 4).map { band =>
-        (0 until 4).map { r =>
-          val p = band * 4 + r
-          val proj = aggregate(
-            zip_with(col("q"), sequence(lit(0), lit(63)),
-              (x, i) => x * planeSign(p, i)),
-            lit(0L), (acc, x) => acc + x)
-          when(proj >= 0, lit(1L << r)).otherwise(lit(0L))
-        }.reduce(_ + _).as(s"band$band")
-      }
+      val bandCols = bandSignatures(col("q"), bands = 4, planesPerBand = 4, dim = 64)
       val withSig = e.select((col("vec_id") +: col("q") +: bandCols): _*)
       // one row per (vector, band): bucket key = (band, signature)
       val banded = withSig.select(col("vec_id"), col("q"),
@@ -173,6 +180,32 @@ object VectorOps {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY aff DESC, label ASC) AS rank
         |  FROM scored)
         |SELECT query_id, label AS best_label, CAST(dot AS BIGINT) AS dot
-        |FROM ranked WHERE rank = 1 ORDER BY query_id""".stripMargin
+        |FROM ranked WHERE rank = 1 ORDER BY query_id""".stripMargin,
+    "emb_lsh_ann" -> {
+      val bandSelects = (0 until 4).map(b =>
+        s"SELECT vec_id, qv, $b AS band, ${bandSignatureSql("qv", b, 4, 64)} AS bsig FROM q")
+        .mkString("\n  UNION ALL ")
+      s"""WITH q AS (
+         |  SELECT vec_id, list_transform(embedding, e -> CAST(round(e * 1000) AS BIGINT)) AS qv
+         |  FROM embeddings),
+         |banded AS (
+         |  $bandSelects),
+         |probes AS (SELECT vec_id AS query_id, band, bsig FROM banded WHERE vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+         |  FROM probes p JOIN banded b ON b.band = p.band AND b.bsig = p.bsig
+         |  WHERE b.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |         list_dot_product(pq.qv, nq.qv) AS dot,
+         |         list_dot_product(pq.qv, nq.qv) /
+         |           sqrt(1.0 * list_dot_product(pq.qv, pq.qv) * list_dot_product(nq.qv, nq.qv)) AS cos
+         |  FROM cand c JOIN q pq ON pq.vec_id = c.query_id JOIN q nq ON nq.vec_id = c.neighbor_id),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, neighbor_id, CAST(dot AS BIGINT) AS dot
+         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }
   )
 }

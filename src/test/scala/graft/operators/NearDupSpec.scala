@@ -61,7 +61,7 @@ class NearDupSpec extends SparkTestBase {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val sims = DedupOps.queries("doc_simhash")(spark, dir).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> java.lang.Long.parseUnsignedLong(r.getString(1), 16)).toMap
     def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     (0 until 40).foreach { i =>
       assert(sims(i.toLong) == sims(100L + i), s"exact copy $i simhash differs")

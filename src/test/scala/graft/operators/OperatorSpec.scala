@@ -58,9 +58,10 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("simhash is stable and 64-bit") {
-    val r1 = SparkEntry.queries("doc_simhash")(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
-    val r2 = SparkEntry.queries("doc_simhash")(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val r1 = SparkEntry.queries("doc_simhash")(spark, dir).collect().map(r => (r.getLong(0), r.getString(1)))
+    val r2 = SparkEntry.queries("doc_simhash")(spark, dir).collect().map(r => (r.getLong(0), r.getString(1)))
     assert(r1.sameElements(r2))
+    assert(r1.forall(_._2.matches("[0-9a-f]{16}")), "simhash must be 16 hex chars (64 bits)")
     assert(r1.map(_._2).distinct.length > 400, "simhashes should mostly differ across docs")
   }
 
