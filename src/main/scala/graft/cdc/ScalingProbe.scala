@@ -41,11 +41,16 @@ object ScalingProbe {
       Dedup.lastPerKey(EventGen.events(spark, 0, n, gen), Model.keyCols, "lsn")
         .withColumn("bucket", pmod(hash(col("repo"), col("path")), lit(64)))
         .write.format("noop").mode("overwrite").save())
-    time("dedup+parquet")(
+    time("dedup+parquet") {
+      // mirror SnapshotTable.writerPartitioned: sub-bucket fan-out so a
+      // bucket is not a single-task write
+      val fanout = math.max(1, 2 * spark.sparkContext.defaultParallelism / 64)
       Dedup.lastPerKey(EventGen.events(spark, 0, n, gen), Model.keyCols, "lsn")
         .withColumn("bucket", pmod(hash(col("repo"), col("path")), lit(64)))
-        .repartition(64, col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/probe-data"))
+        .repartition(64 * fanout, col("bucket"),
+          pmod(hash(Model.keyCols.map(col): _*), lit(fanout)))
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$root/probe-data")
+    }
     time("full-epoch") {
       val table = new SnapshotTable(spark, s"$root/probe-table", 64)
       val engine = new CdcEngine(spark, table,

@@ -55,4 +55,16 @@ class SessionizerSpec extends SparkTestBase {
     assert(streamed.exceptAll(want).isEmpty && want.exceptAll(streamed).isEmpty,
       s"streamed=${streamed.count()} batch=${want.count()}")
   }
+
+  test("sort-based sessionizer (spill-safe, O(1) per key) == window oracle") {
+    val evs = EventGen.events(spark, 0, 20000, gen)
+      .select(col("repo").as("key"), (col("ts_ms") / 1000).cast("long").as("tsSec"), col("lsn"))
+      .as[Sessionizer.Event]
+    val sorted = Sessionizer.sessionizeSorted(evs, GAP)(spark)
+      .select("key", "startSec", "endSec", "n", "firstLsn", "lastLsn")
+    val want = batchClosedSessions(0, 20000)
+    assert(sorted.count() > 0)
+    assert(sorted.exceptAll(want).isEmpty && want.exceptAll(sorted).isEmpty,
+      s"sorted=${sorted.count()} batch=${want.count()}")
+  }
 }
