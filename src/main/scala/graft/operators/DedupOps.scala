@@ -65,7 +65,8 @@ object DedupOps {
         .withColumn("t2", lead("token", 2).over(w))
         .filter(col("t2").isNotNull)
         .select(col("doc_id"), concat_ws(" ", col("token"), col("t1"), col("t2")).as("shingle"))
-        .distinct()
+      // no distinct: min() is insensitive to duplicate shingles (min of a
+      // multiset == min of its set), so the dedup shuffle is pure cost
       // ONE md5 per shingle -> 28-bit base hash -> K affine permutations,
       // computed in ONE aggregation pass (partial agg => no skew on common
       // shingles); conv(hex, 16, 10) mirrors the oracle's nibble expansion
@@ -174,7 +175,7 @@ object DedupOps {
         .mkString("\n  UNION ALL ")
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (
-         |  SELECT DISTINCT doc_id, t[r.range] || ' ' || t[r.range + 1] || ' ' || t[r.range + 2] AS shingle
+         |  SELECT doc_id, t[r.range] || ' ' || t[r.range + 1] || ' ' || t[r.range + 2] AS shingle
          |  FROM toks CROSS JOIN range(1, 4096) r
          |  WHERE r.range + 2 <= len(t)),
          |hh AS (SELECT doc_id, $hExpr AS h FROM (SELECT doc_id, md5(shingle) AS m FROM sh)),

@@ -51,4 +51,27 @@ class PlanSpec extends SparkTestBase {
     val p = plan("emb_knn_brute")
     assert(p.contains("Broadcast"), s"expected broadcast of probes:\n$p")
   }
+
+  test("envelope decode is pure expressions, no UDFs, no shuffle before the sort") {
+    val p = plan("cdc_envelope_decode")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), s"UDF in plan:\n$p")
+    assert(p.split("Exchange").length <= 2, // only the final orderBy's range exchange
+      s"envelope decode must not shuffle:\n$p")
+  }
+
+  test("LSH projections are codegen'd dot_q, not interpreted aggregate(zip_with) pairs") {
+    val p = plan("emb_lsh_ann")
+    assert(p.contains("dot_q"), s"expected dot_q projections:\n$p")
+    assert(!p.contains("zip_with"), s"interpreted HOF pair in hot path:\n$p")
+    val pn = plan("emb_near_dup")
+    assert(pn.contains("dot_q") && !pn.contains("zip_with"), s"emb_near_dup hot path:\n$pn")
+  }
+
+  test("minhash pipeline shuffles at most 3 times (doc agg, buckets, pair distinct)") {
+    val p = plan("doc_minhash_lsh")
+    // window(by doc) + groupBy(doc) share one exchange; +1 bucket groupBy,
+    // +1 pair distinct, +1 final sort
+    val exchanges = p.split("Exchange hashpartitioning").length - 1
+    assert(exchanges <= 3, s"expected <=3 hash exchanges, got $exchanges:\n$p")
+  }
 }
