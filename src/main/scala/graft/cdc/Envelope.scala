@@ -108,14 +108,22 @@ object Envelope {
    */
   def decodeJson(wire: DataFrame, keySchema: StructType, payload: StructType,
                  ybCells: Boolean = true): DataFrame = {
-    val env = from_json(col("value"), envelopeSchema(payload, ybCells))
-    val key = from_json(col("key"), keySchema)
+    // parse each document ONCE into an intermediate column: projecting the
+    // fields straight off from_json(...) would plant a fresh parse inside
+    // EVERY output column (CollapseProject duplicates the expression — this
+    // was a measured 3x slowdown on the decode path); with a multi-referenced
+    // non-cheap intermediate, Catalyst keeps the single parse
+    val parsed = wire
+      .withColumn("_env", from_json(col("value"), envelopeSchema(payload, ybCells)))
+      .withColumn("_key", from_json(col("key"), keySchema))
+    val env = col("_env")
+    val key = col("_key")
     def field(img: Column, f: StructField): Column =
       if (ybCells) when(img(f.name)("set") === true, img(f.name)("value"))
       else img(f.name)
     val payloadCols = payload.fields.toSeq.map(f => field(env("after"), f).as(f.name))
     val keyColumns = keySchema.fieldNames.toSeq.map(n => key(n).as(n))
-    wire.select(
+    parsed.select(
       (env("source")("lsn").as("lsn") +:
         env("op").as("op") +:
         keyColumns) ++

@@ -213,8 +213,12 @@ object CdcQueries {
             (col("event_id") / 16).cast("long").as("txId"),
             col("event_id").as("lsn")).as("source"),
           op.as("op"), unix_millis(col("ts").cast("timestamp")).as("ts_ms"))).as("value"))
-      val j = from_json(col("value"), Envelope.envelopeSchema(payload, ybCells = true))
-      wire.select(col("event_id"),
+      // parse once (multi-referenced intermediate), then project — see
+      // Envelope.decodeJson for why
+      val j = col("_j")
+      wire.withColumn("_j",
+          from_json(col("value"), Envelope.envelopeSchema(payload, ybCells = true)))
+        .select(col("event_id"),
           j("op").as("op"),
           j("source")("lsn").as("lsn"),
           j("source")("txId").as("txid"),
