@@ -82,6 +82,35 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
     if (res.applied) res.stats.map(_.rows).sum else -1L
   }
 
+  /** S4 retriable-error retry (reference: a RetriableException from poll is
+    * swallowed and the same records re-served on the next poll,
+    * MTEngine.java:900-905). Transient faults (IO, fetch, task failures
+    * surfacing as SparkException) retry the SAME epoch at the driver:
+    * nothing was committed (the manifest rename is the last step), so the
+    * deterministic re-evaluation plus (bucket, epochId) fencing makes the
+    * retry exactly-once, not just at-least-once. Non-transient errors
+    * propagate. */
+  def applyEpochWithRetry(events: DataFrame, epochId: Long, maxAttempts: Int = 3): Long = {
+    var attempt = 1
+    while (true) {
+      try return applyEpoch(events, epochId)
+      catch {
+        case scala.util.control.NonFatal(e) if attempt < maxAttempts && isRetriable(e) =>
+          attempt += 1
+      }
+    }
+    -1L // unreachable
+  }
+
+  /** Retriable = an IO-ish fault anywhere in the cause chain (the analogue
+    * of Kafka-Connect's RetriableException classification). */
+  private def isRetriable(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+      case _: java.io.IOException => true
+      case _: org.apache.spark.SparkException => true
+      case _ => false
+    }
+
   /** Final offset flush (graceful-stop path, reference ServerApp.java:269-284). */
   def flush(): Boolean = {
     val did = table.commitPending()
