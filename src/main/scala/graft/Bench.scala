@@ -100,7 +100,7 @@ object Bench {
                 (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             // a failed query must be visible as a failure, not a fast timing
-            errors += name -> e.toString.take(200).replaceAll("[\"\\n]", " ")
+            errors += name -> e.toString.take(200)
             -1.0 }
         name -> elapsed
       }
@@ -133,9 +133,17 @@ object Bench {
         f""""events_per_sec_32core_mor":${rateFullMor}%.0f}"""
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // full JSON string escape — exception text can carry backslashes,
+    // quotes and control chars that would break the one machine-readable line
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(

@@ -50,13 +50,18 @@ final case class EngineConfig(
 
 class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfig = EngineConfig()) {
 
-  if (conf.maxRecordsPerFile > 0)
-    spark.conf.set("spark.sql.files.maxRecordsPerFile", conf.maxRecordsPerFile)
+  table.maxRecordsPerFile = conf.maxRecordsPerFile // per-write option, not session conf
 
   private var epochsSinceCommit = 0L
   private var lastCommitMs = System.currentTimeMillis()
 
   def lineageDir: String = s"${table.root}/lineage"
+
+  /** Serialized-delivery sink in the engine's configured wire format (the
+    * F2 selection knob actually selecting something): JSON / Avro / proto /
+    * CloudEvents, with the engine's file-rollover cap. */
+  def wireSink(root: String): graft.formats.WireSink =
+    new graft.formats.WireSink(spark, root, conf.format, conf.maxRecordsPerFile)
 
   /** Apply one epoch of raw (possibly duplicated / out-of-order) events.
     * Returns the number of rows applied, or -1 if the epoch was fenced. */
@@ -102,14 +107,13 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
     -1L // unreachable
   }
 
-  /** Retriable = an IO-ish fault anywhere in the cause chain (the analogue
-    * of Kafka-Connect's RetriableException classification). */
+  /** Retriable = an IOException anywhere in the cause chain (the analogue
+    * of Kafka-Connect's RetriableException classification). Deliberately
+    * NOT every SparkException — that wraps ALL task failures, including
+    * deterministic bugs that would fail identically on every attempt. */
   private def isRetriable(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
-      case _: java.io.IOException => true
-      case _: org.apache.spark.SparkException => true
-      case _ => false
-    }
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+      .exists(_.isInstanceOf[java.io.IOException])
 
   /** Final offset flush (graceful-stop path, reference ServerApp.java:269-284). */
   def flush(): Boolean = {
@@ -222,14 +226,33 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
         if (conf.lateMaterialize) applyEpochLateMat(cursor, end, epochId, gen)
         else applyEpoch(EventGen.events(spark, cursor, end, gen), epochId)
       if (n < 0) skipped += 1 else applied += n
+      if (n < 0) assertResumeChunkingMatches(epochId, end)
       cursor = end
       i += 1
       maybeActivateSnapshot()
       advanceSnapshot(cursor, gen)
     }
-    while (advanceSnapshot(cursor, gen)) {} // drain remaining snapshot chunks
+    // drain remaining snapshot chunks AND any still-queued signals
+    while ({ maybeActivateSnapshot(); advanceSnapshot(cursor, gen) }) {}
     flush() // graceful-stop final commit
     ReplayStats(i, skipped, applied)
+  }
+
+  /** Epoch-id fencing is only sound when every run chunks the LSN axis the
+    * same way (epoch id = chunk index). A resumed run with a DIFFERENT chunk
+    * size would collide ids across different LSN ranges and silently fence
+    * never-applied data — cross-check the committed epoch's recorded
+    * lastLSN (lineage) against this run's chunk end and fail loudly. */
+  private def assertResumeChunkingMatches(epochId: Long, end: Long): Unit = {
+    val dir = new Path(s"$lineageDir/epoch=$epochId")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) {
+      val recorded = spark.read.parquet(dir.toString)
+        .agg(max(col("lastLSN"))).head().getLong(0)
+      require(recorded == end - 1,
+        s"epoch $epochId was committed covering LSNs up to $recorded but this run's " +
+          s"chunking expects ${end - 1} — resume must use the same epoch chunk size")
+    }
   }
 
   def readLineage(): DataFrame = {

@@ -16,7 +16,7 @@ import java.nio.charset.StandardCharsets
  *
  * Layout:
  * {{{
- *   <root>/manifest.json            # THE commit point (atomic rename)
+ *   <root>/manifest-v<N>.json       # THE commit point (highest version wins)
  *   <root>/data/snap-<epoch>/bucket=<b>/part-*.parquet
  *   <root>/lineage/epoch=<e>/part-... .parquet
  * }}}
@@ -62,6 +62,15 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
   import SnapshotTable._
   require(mode == "cow" || mode == "mor", s"unknown table mode $mode")
 
+  /** A1 Roller / flush.records equivalent: per-WRITE `maxRecordsPerFile`
+    * option (NOT session-global conf — that would leak file sizing into
+    * every other writer on the session). 0 = unlimited. Set by the engine
+    * from its config. */
+  @volatile var maxRecordsPerFile: Long = 0L
+
+  private def withRollover(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+    if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
 
@@ -98,6 +107,13 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
       finally in.close()
     }.nextOption()
   }
+
+  // A root written by the pre-versioned-manifest layout (single
+  // manifest.json) would read as an EMPTY table here and vacuum() could then
+  // delete its data — refuse to open it rather than lose it silently.
+  require(!fs.exists(new Path(root, "manifest.json")),
+    s"table at $root has a legacy single-file manifest.json — migrate it to " +
+      "manifest-v<N>.json before opening with this version")
 
   // Reopening an existing table with a different bucketing would silently
   // misroute keys (constructor bucketCol vs on-disk layout) — fail fast.
@@ -350,6 +366,14 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
         .filter { case (b, st) => affected.contains(b.toInt) && st.lastEpoch == epochId }
         .map(_._1.toInt).toSet
       val toMerge = affected -- fenced
+      if (affected.isEmpty) {
+        // an EMPTY epoch still commits its id: leaving a gap would stop the
+        // epoch watermark forever and regrow the O(all-epochs) recent set
+        // (a destination with zero routed rows this epoch hits this)
+        pendingEpochs = pendingEpochs :+ epochId
+        if (commit) commitPending()
+        return MergeResult(epochId, applied = true, Seq.empty)
+      }
       if (toMerge.isEmpty) return MergeResult(epochId, applied = false, Seq.empty)
       val mergedStats = stats.filter(s => toMerge.contains(s.bucket))
 
@@ -363,10 +387,10 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
         val reconTarget = StructType(mergedSchema.fields ++ Seq(
           org.apache.spark.sql.types.StructField("lsn", org.apache.spark.sql.types.LongType, true),
           org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType, true)))
-        writerPartitioned(
+        withRollover(writerPartitioned(
             SchemaEvolution.alignTo(deltaWithOp, reconTarget).withColumn("bucket", bucketCol),
             toMerge.size)
-          .write.mode("overwrite")
+          .write.mode("overwrite"))
           .partitionBy("bucket")
           .parquet(s"$root/$snapDir")
       } else {
@@ -385,8 +409,7 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
           .withColumn("bucket", bucketCol)
         val out = survivors.select((mergedSchema.fieldNames.toSeq :+ "bucket").map(col): _*)
           .unionByName(upserts.select((mergedSchema.fieldNames.toSeq :+ "bucket").map(col): _*))
-        writerPartitioned(out, toMerge.size)
-          .write.mode("overwrite")
+        withRollover(writerPartitioned(out, toMerge.size).write.mode("overwrite"))
           .partitionBy("bucket")
           .parquet(s"$root/$snapDir")
       }
@@ -461,8 +484,8 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
     if (targets.isEmpty) return
     val bucketSet = targets.map(_._1).toSet
     val compDir = s"data/compact-${m.version + 1}"
-    writerPartitioned(readBuckets(Some(bucketSet)), bucketSet.size)
-      .write.mode("overwrite")
+    withRollover(writerPartitioned(readBuckets(Some(bucketSet)), bucketSet.size)
+      .write.mode("overwrite"))
       .partitionBy("bucket")
       .parquet(s"$root/$compDir")
     val sid = m.currentSchemaId

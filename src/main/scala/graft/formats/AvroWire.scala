@@ -91,7 +91,17 @@ object AvroWire {
           val p = row.getStruct(row.length - 1)
           val rec = new GenericData.Record(schema)
           payloadType.fields.zipWithIndex.foreach { case (f, i) =>
-            rec.put(f.name, if (p.isNullAt(i)) null else p.get(i))
+            // avro datum types differ from Spark's for two cases: BYTES
+            // wants ByteBuffer (union resolution rejects Array[Byte]) and
+            // INT wants Integer (Short fails instanceof Integer)
+            val v =
+              if (p.isNullAt(i)) null
+              else f.dataType match {
+                case BinaryType => java.nio.ByteBuffer.wrap(p.getAs[Array[Byte]](i))
+                case ShortType  => Int.box(p.getShort(i).toInt)
+                case _          => p.get(i)
+              }
+            rec.put(f.name, v)
           }
           bos.reset()
           bos.write(hdr, 0, hdr.length)
@@ -135,6 +145,7 @@ object AvroWire {
               case u: Utf8  => u.toString
               case bb: java.nio.ByteBuffer =>
                 val a = new Array[Byte](bb.remaining()); bb.get(a); a
+              case v: Integer if f.dataType == ShortType => Short.box(v.shortValue())
               case v        => v
             }
           }

@@ -81,10 +81,14 @@ class WireSink(spark: SparkSession, root: String, format: String,
 
   def epochDir(epochId: Long): String = f"$root/epoch=$epochId"
 
-  /** Write one epoch of serialized records; returns the records written. */
+  /** Write one epoch of serialized records; returns the records written
+    * (observed on the write job itself — no second evaluation of the
+    * source pipeline). */
   def writeEpoch(events: DataFrame, epochId: Long, payloadCols: Seq[String],
                  schemaId: Int = 0): Long = {
+    val obs = org.apache.spark.sql.Observation(s"wire-epoch-$epochId")
     val wire = WireFormat.encode(events, format, payloadCols, schemaId)
+      .observe(obs, count(lit(1)).as("rows"))
     val writer = wire.write.mode("overwrite")
     val sized = if (maxRecordsPerFile > 0)
       writer.option("maxRecordsPerFile", maxRecordsPerFile) else writer
@@ -92,7 +96,7 @@ class WireSink(spark: SparkSession, root: String, format: String,
       case WireFormat.Json | WireFormat.CloudEvents => sized.text(epochDir(epochId))
       case _                                        => sized.parquet(epochDir(epochId))
     }
-    events.count()
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** Read an epoch back to flat payload columns (round-trip check path). */

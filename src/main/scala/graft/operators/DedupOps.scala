@@ -176,7 +176,7 @@ object DedupOps {
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (
          |  SELECT doc_id, t[r.range] || ' ' || t[r.range + 1] || ' ' || t[r.range + 2] AS shingle
-         |  FROM toks CROSS JOIN range(1, 4096) r
+         |  FROM toks CROSS JOIN range(1, 100000) r
          |  WHERE r.range + 2 <= len(t)),
          |hh AS (SELECT doc_id, $hExpr AS h FROM (SELECT doc_id, md5(shingle) AS m FROM sh)),
          |mh AS (

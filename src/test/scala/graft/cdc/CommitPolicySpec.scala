@@ -82,6 +82,5 @@ class CommitPolicySpec extends SparkTestBase {
     assert(files.nonEmpty)
     val counts = files.map(f => spark.read.parquet(f.getAbsolutePath).count())
     assert(counts.forall(_ <= 500L), s"file row counts: ${counts.mkString(",")}")
-    spark.conf.unset("spark.sql.files.maxRecordsPerFile")
   }
 }

@@ -46,6 +46,20 @@ class IncrementalSnapshotSpec extends SparkTestBase {
     assert(snapEpochs.toSeq == Seq(1_000_000L, 1_000_001L, 1_000_002L))
   }
 
+  test("two queued signals both execute (second activates after the first drains)") {
+    val root = tmpDir("incsnap3")
+    val table = new SnapshotTable(spark, root, 4)
+    val engine = new CdcEngine(spark, table, EngineConfig(numBuckets = 4))
+    val selB = pmod(xxhash64(col("repo")), lit(3)) === 1
+    engine.signalSnapshot(1_000_000L, selection, numChunks = 2)
+    engine.signalSnapshot(2_000_000L, selB, numChunks = 2)
+    engine.replayGenerated(0, 8000, 2, gen)
+    assert(!engine.snapshotInProgress, "both signals must fully drain")
+    val snapEpochs = engine.readLineage().filter(col("epochId") >= 1_000_000L)
+      .select("epochId").distinct().collect().map(_.getLong(0)).toSet
+    assert(snapEpochs == Set(1_000_000L, 1_000_001L, 2_000_000L, 2_000_001L), s"$snapEpochs")
+  }
+
   test("re-issued signal + re-run fence to no-ops (resume semantics)") {
     val root = tmpDir("incsnap2")
     val table = new SnapshotTable(spark, root, 4)

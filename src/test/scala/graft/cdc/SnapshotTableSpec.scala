@@ -100,6 +100,43 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(m2.epochWatermark == 2L && m2.epochs.isEmpty)
   }
 
+  test("an empty-delta epoch still commits its id (no watermark gap)") {
+    val root = tmpDir("emptyepoch")
+    val table = new SnapshotTable(spark, root, 2)
+    val engine = new CdcEngine(spark, table, EngineConfig(numBuckets = 2))
+    engine.applyEpoch(EventGen.events(spark, 0, 1000, gen), 0L)
+    // epoch 1 routes zero rows (RoutingEngine's empty-slice case)
+    val empty = EventGen.events(spark, 1000, 2000, gen).filter(lit(false))
+    assert(engine.applyEpoch(empty, 1L) == 0L)
+    engine.applyEpoch(EventGen.events(spark, 2000, 3000, gen), 2L)
+    val m = table.loadManifest().get
+    assert(m.epochWatermark == 2L && m.epochs.isEmpty,
+      s"empty epoch must not leave a gap: watermark=${m.epochWatermark} recent=${m.epochs}")
+    assert(table.isCommitted(1L))
+  }
+
+  test("legacy single-file manifest.json refuses to open (no silent empty read)") {
+    val root = tmpDir("legacy")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(root, "manifest.json"), "{}")
+    val ex = intercept[IllegalArgumentException](new SnapshotTable(spark, root, 4))
+    assert(ex.getMessage.contains("legacy"))
+  }
+
+  test("resume with a different epoch chunking fails loudly instead of losing data") {
+    val root = tmpDir("chunking")
+    val table = new SnapshotTable(spark, root, 4)
+    val engine = new CdcEngine(spark, table, EngineConfig(numBuckets = 4))
+    engine.replayGenerated(0, 12000, 3, gen) // chunk = 4000, epochs 0,1,2
+    val resumed = new CdcEngine(spark, new SnapshotTable(spark, root, 4),
+      EngineConfig(numBuckets = 4))
+    // same stream, different chunking: epoch 0 would now mean [0,6000) but
+    // the committed epoch 0 covered [0,4000) — must abort, not fence+skip
+    val ex = intercept[IllegalArgumentException](resumed.replayGenerated(0, 12000, 2, gen))
+    assert(ex.getMessage.contains("chunk"))
+    // identical chunking resumes fine
+    assert(resumed.replayGenerated(0, 12000, 3, gen).fencedEpochs == 3)
+  }
+
   test("crash between data write and manifest commit leaves previous version intact") {
     val root = tmpDir("crashpoint")
     val table = new SnapshotTable(spark, root, 2)

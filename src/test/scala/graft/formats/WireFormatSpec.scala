@@ -61,11 +61,27 @@ class WireFormatSpec extends SparkTestBase {
     assert(back.count() == ev.count())
   }
 
+  test("avro round trip covers binary and short columns (datum conversions)") {
+    val df = Seq((1L, Array[Byte](1, 2, -3), 7.toShort), (2L, Array.empty[Byte], -5.toShort))
+      .toDF("id", "blob", "sh")
+    val pt = StructType(Seq("blob", "sh").map(df.schema(_)))
+    val back = AvroWire.decode(
+      AvroWire.encode(df, Seq("blob", "sh"), 0, keep = Seq("id")),
+      Map(0 -> pt), 0, keep = Seq("id"))
+    val got = back.orderBy("id").collect()
+    assert(got(0).getAs[Array[Byte]]("blob").toSeq == Seq[Byte](1, 2, -3))
+    assert(got(0).getAs[Short]("sh") == 7.toShort)
+    assert(got(1).getAs[Array[Byte]]("blob").isEmpty && got(1).getAs[Short]("sh") == -5.toShort)
+  }
+
   test("WireSink: format-selected delivery with rollover, read-back equality") {
     Seq(WireFormat.Json, WireFormat.Avro, WireFormat.Proto).foreach { fmt =>
       val root = tmpDir(s"wiresink-$fmt")
-      val conf = graft.cdc.EngineConfig(format = fmt)
-      val sink = new WireSink(spark, root, conf.format, maxRecordsPerFile = 500L)
+      // the engine's F2 knob selects the sink format end to end
+      val engine = new graft.cdc.CdcEngine(spark,
+        new graft.cdc.SnapshotTable(spark, tmpDir("wiresink-t"), 2),
+        graft.cdc.EngineConfig(numBuckets = 2, format = fmt, maxRecordsPerFile = 500L))
+      val sink = engine.wireSink(root)
       val ev = events.withColumn("lsn2", col("lsn"))
       val n = sink.writeEpoch(ev, 0L, payloadCols :+ "lsn2")
       assert(n == 3000L)
