@@ -1,7 +1,9 @@
 package graft.cdc
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /**
  * Structured Streaming front-end: tail a directory of change-event parquet
@@ -40,6 +42,39 @@ object StreamingCdc {
         // policies therefore degrade to per-batch flush here — the price of
         // exactly-once over a non-replayable delivery channel.
         engine.flush()
+        ()
+      }
+      .start()
+  }
+
+  /** The complete real-world shape, streaming: tail (key, value) WIRE
+    * records — nested Debezium-envelope JSON with YB cells — decode each
+    * micro-batch (Envelope.decodeJson: from_json + cell normalization +
+    * flatten), then the same exactly-once epoch path. This is the pipeline a
+    * user pointing the engine at actual Debezium output runs end to end. */
+  def startDecoded(spark: SparkSession, engine: CdcEngine, wireDir: String,
+                   checkpointDir: String,
+                   keySchema: StructType = StructType(Seq(
+                     StructField("repo", StringType), StructField("path", StringType))),
+                   payloadSchema: StructType = StructType(Seq(
+                     StructField("commit", StringType), StructField("lang", StringType),
+                     StructField("content", StringType))),
+                   maxFilesPerTrigger: Int = 16): StreamingQuery = {
+    val wireSchema = StructType(Seq(
+      StructField("key", StringType), StructField("value", StringType)))
+    val stream = spark.readStream
+      .schema(wireSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(wireDir)
+
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
+        val decoded = Envelope.decodeJson(batch, keySchema, payloadSchema)
+          .withColumn("schemaId", lit(0)).drop("txId")
+        engine.applyEpoch(decoded, epochId)
+        engine.flush() // see start(): durable before the checkpoint commits
         ()
       }
       .start()

@@ -95,6 +95,23 @@ class StreamingCdcSpec extends SparkTestBase {
     } finally spark.streams.removeListener(health)
   }
 
+  test("wire-encoded envelope stream: tail -> decode -> exactly-once MERGE") {
+    val wireDir = tmpDir("wire")
+    val table = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 4)
+    val engine = new CdcEngine(spark, table)
+    def writeWire(lo: Long, hi: Long): Unit =
+      Envelope.wrapJson(EventGen.events(spark, lo, hi, gen))
+        .coalesce(2).write.mode("append").parquet(wireDir)
+    writeWire(0, 8000)
+    writeWire(8000, 16000)
+    val q = StreamingCdc.startDecoded(spark, engine, wireDir, tmpDir("ckpt"),
+      maxFilesPerTrigger = 2)
+    try q.processAllAvailable() finally q.stop()
+    val want = digests(EventGen.finalState(spark, 0, 16000, gen))
+    val got = digests(table.read())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("checkpoint wipe (re-delivery of all batches) is fenced to a no-op") {
     val eventsDir = tmpDir("ev")
     val table = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 4)
