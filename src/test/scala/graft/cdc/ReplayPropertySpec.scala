@@ -55,6 +55,54 @@ class ReplayPropertySpec extends SparkTestBase {
       assert(got == oracle(evs), s"mismatch for seed $seedN")
     }
   }
+
+  test("routing property: per-destination final states partition the oracle") {
+    (10L to 14L).foreach { seedN =>
+      val evs = eventsGen.apply(Gen.Parameters.default, Seed(seedN))
+        .getOrElse(fail(s"gen failed for seed $seedN"))
+      val router = new RoutingEngine(spark, tmpDir("routeprop"),
+        Seq("alpha", "beta"), EngineConfig(numBuckets = 2))
+      val route = when(col("repo") === "r0", "alpha").otherwise("beta")
+      val df = evs.toDF()
+        .withColumn("commit", lit("c")).withColumn("lang", lit("x"))
+        .withColumn("schemaId", lit(0)).withColumn("ts_ms", col("lsn"))
+      val mid = evs.map(_.lsn).max / 2
+      router.applyEpoch(df.filter(col("lsn") <= mid), 0L, route)
+      router.applyEpoch(df.filter(col("lsn") > mid), 1L, route)
+      val want = oracle(evs)
+      def state(d: String) = router.table(d).read()
+        .select("repo", "path", "content").as[(String, String, String)]
+        .collect().map { case (r, p, c) => (r, p) -> c }.toMap
+      assert(state("alpha") == want.filter(_._1._1 == "r0"), s"alpha seed $seedN")
+      assert(state("beta") == want.filter(_._1._1 != "r0"), s"beta seed $seedN")
+    }
+  }
+
+  test("envelope round trip property: wire encode/decode preserves the oracle") {
+    (20L to 23L).foreach { seedN =>
+      val evs = eventsGen.apply(Gen.Parameters.default, Seed(seedN))
+        .getOrElse(fail(s"gen failed for seed $seedN"))
+      val table = new SnapshotTable(spark, tmpDir("envprop"), numBuckets = 2)
+      val engine = new CdcEngine(spark, table)
+      val df = evs.toDF()
+        .withColumn("commit", lit("c")).withColumn("lang", lit("x"))
+        .withColumn("schemaId", lit(0)).withColumn("ts_ms", col("lsn"))
+      val keySchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("repo", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType)))
+      val payloadSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("commit", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.StringType)))
+      val decoded = Envelope.decodeJson(Envelope.wrapJson(df), keySchema, payloadSchema)
+        .withColumn("schemaId", lit(0)).drop("txId")
+      engine.applyEpoch(decoded, 0L)
+      val got = table.read().select("repo", "path", "content")
+        .as[(String, String, String)].collect()
+        .map { case (r, p, c) => (r, p) -> c }.toMap
+      assert(got == oracle(evs), s"mismatch for seed $seedN")
+    }
+  }
 }
 
 object ReplayPropertySpec {
