@@ -79,6 +79,30 @@ object TextOps {
           md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("fp"))
         .orderBy("doc_id")),
 
+    // PII/URL scrubbing — the standard pre-training sanitization pass:
+    // emails and URLs replaced by typed placeholder tokens, runs of digits
+    // masked, filler stopwords tokenized (the rule that actually fires on
+    // this corpus), whitespace normalized. Pure codegen'd regexp_replace
+    // chain, semantics identical under Java regex and DuckDB's RE2.
+    "doc_scrub" -> ((s, d) => {
+      val scrubbed =
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(col("text"),
+                  "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+                "https?://[^ ]+", "<URL>"),
+              "[0-9]{6,}", "<NUM>"),
+            "\\b(a|the)\\b", "<STOP>"),
+          "  +", " ")
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          scrubbed.as("clean"),
+          (length(col("text")) - length(scrubbed)).as("removed_chars"))
+        .orderBy("doc_id")
+    }),
+
     // unigram-Jaccard near-dup pairs over a bounded candidate window (full
     // n-gram/MinHash variants in DedupOps; this one is oracle-checkable)
     "doc_jaccard_pairs" -> ((s, d) => {
@@ -143,6 +167,22 @@ object TextOps {
     "doc_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(text,
+        |              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |            'https?://[^ ]+', '<URL>', 'g'),
+        |          '[0-9]{6,}', '<NUM>', 'g'),
+        |        '\b(a|the)\b', '<STOP>', 'g'),
+        |      '  +', ' ', 'g') AS clean
+        |  FROM documents)
+        |SELECT doc_id, clean, length(text) - length(clean) AS removed_chars
+        |FROM s ORDER BY doc_id""".stripMargin,
     "doc_jaccard_pairs" ->
       """WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
         |toks AS (
