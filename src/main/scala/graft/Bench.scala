@@ -47,6 +47,11 @@ object Bench {
     * across levels. Identical JVM flags at every level. Returns events/sec. */
   private def cdcReplayRate(cpus: Int, numEvents: Long, mode: String = "cow"): Double = {
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    // Identical JVM flags at every level (r1-reviewed protocol). A
+    // -XX:ActiveProcessorCount=<cores> cap was evaluated and rejected: it
+    // shifts GC-thread allocation differently per level (measured: +16% on
+    // the 1-core level, -15% on 4-core in the same window) and makes the
+    // ratio measure JVM-GC sizing instead of pipeline scaling.
     val cmd = Seq(javaBin, "-Xmx32g") ++
       jdk17AddOpens ++
       Seq("-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -80,7 +85,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val cdcEvents = sys.env.getOrElse("SPARK_GRAFT_CDC_EVENTS", "48000000").toLong
-    val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_CDC_REPS", "3").toInt
     val nCores = sys.env.getOrElse("SPARK_GRAFT_CDC_N", "1").toInt
 
     // --- query bench over the testdata tables -----------------------------
