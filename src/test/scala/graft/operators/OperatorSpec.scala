@@ -26,6 +26,11 @@ class OperatorSpec extends SparkTestBase {
     assert(unknown.isEmpty, s"oracles without queries: $unknown")
   }
 
+  test("every query has an oracle (no rows-only gates)") {
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracles: $missing")
+  }
+
   test("entry returns rows on sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
