@@ -105,7 +105,11 @@ object Bench {
                 (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             // a failed query must be visible as a failure, not a fast timing
-            errors += name -> e.toString.take(200)
+            errors += name -> {
+              val m = e.toString
+              // codepoint-safe truncation (never split a surrogate pair)
+              m.take(if (m.length > 200 && Character.isHighSurrogate(m.charAt(199))) 199 else 200)
+            }
             -1.0 }
         name -> elapsed
       }
@@ -143,7 +147,7 @@ object Bench {
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c if c < ' ' || Character.isSurrogate(c) => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + f"$v%.3f" }

@@ -50,7 +50,10 @@ final case class EngineConfig(
 
 class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfig = EngineConfig()) {
 
-  table.maxRecordsPerFile = conf.maxRecordsPerFile // per-write option, not session conf
+  // per-write rollover option (not session conf); only set when configured,
+  // so a second engine with the default config cannot silently disable a
+  // cap someone set on the shared table
+  if (conf.maxRecordsPerFile > 0) table.maxRecordsPerFile = conf.maxRecordsPerFile
 
   private var epochsSinceCommit = 0L
   private var lastCommitMs = System.currentTimeMillis()
@@ -243,7 +246,11 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
     * size would collide ids across different LSN ranges and silently fence
     * never-applied data — cross-check the committed epoch's recorded
     * lastLSN (lineage) against this run's chunk end and fail loudly. */
+  private var chunkingChecked = false
   private def assertResumeChunkingMatches(epochId: Long, end: Long): Unit = {
+    // one successful check per run suffices: equal recorded lastLSN at any
+    // fenced epoch k implies the chunk sizes agree (both equal (k+1)*chunk-1)
+    if (chunkingChecked) return
     val dir = new Path(s"$lineageDir/epoch=$epochId")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir)) {
@@ -252,6 +259,7 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
       require(recorded == end - 1,
         s"epoch $epochId was committed covering LSNs up to $recorded but this run's " +
           s"chunking expects ${end - 1} — resume must use the same epoch chunk size")
+      chunkingChecked = true
     }
   }
 

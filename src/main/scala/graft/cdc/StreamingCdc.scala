@@ -67,14 +67,33 @@ object StreamingCdc {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(wireDir)
 
+    val deadLetterDir = s"${engine.table.root}/deadletter"
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, epochId: Long) =>
-        val decoded = Envelope.decodeJson(batch, keySchema, payloadSchema)
-          .withColumn("schemaId", lit(0)).drop("txId")
-        engine.applyEpoch(decoded, epochId)
-        engine.flush() // see start(): durable before the checkpoint commits
+        // corrupt-record guard: a wire record whose envelope fails to parse
+        // (or parses without lsn/op) would decode to null lsn/op and reach
+        // the merge as a key-eating no-payload row — divert the ORIGINAL
+        // wire record to a dead-letter dir instead and keep streaming
+        // (Kafka-Connect errors.tolerance=all + DLQ semantics)
+        val parsed = batch.withColumn("_env",
+          from_json(col("value"), Envelope.envelopeSchema(payloadSchema, ybCells = true)))
+        parsed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val bad = parsed.filter(col("_env").isNull ||
+            col("_env")("source")("lsn").isNull || col("_env")("op").isNull)
+          if (!bad.isEmpty)
+            bad.select("key", "value").write.mode("append")
+              .parquet(s"$deadLetterDir/epoch=$epochId")
+          val good = parsed.filter(col("_env").isNotNull &&
+              col("_env")("source")("lsn").isNotNull && col("_env")("op").isNotNull)
+            .select("key", "value")
+          val decoded = Envelope.decodeJson(good, keySchema, payloadSchema)
+            .withColumn("schemaId", lit(0)).drop("txId")
+          engine.applyEpoch(decoded, epochId)
+          engine.flush() // see start(): durable before the checkpoint commits
+        } finally parsed.unpersist()
         ()
       }
       .start()

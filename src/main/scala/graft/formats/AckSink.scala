@@ -23,11 +23,14 @@ class AckSink(spark: SparkSession, root: String)(send: (Long, String) => Boolean
 
   private def ackDir(epochId: Long) = s"$root/acks/epoch=$epochId"
 
-  /** Acked record ids for an epoch (empty frame if none yet). */
+  /** Acked record ids for an epoch (empty frame if none yet). Explicit
+    * schema: a crash mid-append can leave the dir with only _temporary —
+    * schema inference would throw forever and brick the retry path; an
+    * explicit schema reads it as empty and the retry proceeds. */
   def acked(epochId: Long): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(ackDir(epochId))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(p.toString)
+    if (fs.exists(p)) spark.read.schema("recordId LONG").parquet(p.toString)
     else spark.range(0).select(col("id").as("recordId"))
   }
 

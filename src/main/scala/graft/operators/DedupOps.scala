@@ -175,9 +175,10 @@ object DedupOps {
         .mkString("\n  UNION ALL ")
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
          |sh AS (
-         |  SELECT doc_id, t[r.range] || ' ' || t[r.range + 1] || ' ' || t[r.range + 2] AS shingle
-         |  FROM toks CROSS JOIN range(1, 100000) r
-         |  WHERE r.range + 2 <= len(t)),
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+         |                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
+         |  FROM toks),
          |hh AS (SELECT doc_id, $hExpr AS h FROM (SELECT doc_id, md5(shingle) AS m FROM sh)),
          |mh AS (
          |  SELECT doc_id,

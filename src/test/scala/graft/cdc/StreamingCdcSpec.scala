@@ -112,6 +112,32 @@ class StreamingCdcSpec extends SparkTestBase {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("corrupt wire records go to the dead-letter dir; the stream survives") {
+    import spark.implicits._
+    val wireDir = tmpDir("wirebad")
+    val root = tmpDir("snap")
+    val table = new SnapshotTable(spark, root, numBuckets = 4)
+    val engine = new CdcEngine(spark, table)
+    // good records + three corrupt ones: truncated JSON, missing source.lsn,
+    // missing op
+    Envelope.wrapJson(EventGen.events(spark, 0, 4000, gen))
+      .union(Seq(
+        ("""{"repo":"rX","path":"pX"}""", """{"after":{"commit":{"valu"""),
+        ("""{"repo":"rY","path":"pY"}""", """{"after":null,"source":{"txId":1},"op":"u","ts_ms":1}"""),
+        ("""{"repo":"rZ","path":"pZ"}""", """{"after":null,"source":{"lsn":9,"txId":1},"ts_ms":1}"""))
+        .toDF("key", "value"))
+      .coalesce(2).write.mode("append").parquet(wireDir)
+    val q = StreamingCdc.startDecoded(spark, engine, wireDir, tmpDir("ckpt"), maxFilesPerTrigger = 4)
+    try q.processAllAvailable() finally q.stop()
+    // good records applied to oracle equality, corrupt ones quarantined
+    val want = digests(EventGen.finalState(spark, 0, 4000, gen))
+    val got = digests(table.read())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val dead = spark.read.parquet(s"$root/deadletter")
+    assert(dead.count() == 3, s"expected 3 dead letters, got ${dead.count()}")
+    assert(dead.columns.toSet == Set("key", "value", "epoch"), "dead letters keep the original wire record + epoch")
+  }
+
   test("checkpoint wipe (re-delivery of all batches) is fenced to a no-op") {
     val eventsDir = tmpDir("ev")
     val table = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 4)
