@@ -119,12 +119,36 @@ object Bench {
 
     // --- CDC replay scaling: interleaved reps at N and 4N cores -----------
     // (SPARK_GRAFT_CDC_REPS=0 skips the replay block for query-only spot runs)
+    //
+    // Stabilized protocol (r2 post-mortem): a FIXED rep count let one noisy
+    // host window decide the N:4N ratio — the r2 driver artifact read 0.674
+    // while the identical binary measured 0.801 in a quiet window. Best-of
+    // is only an uncontended-machine estimate once the best has actually
+    // converged, so: keep interleaving (N, 4N) rep pairs until NEITHER
+    // level's best improved (by >1%) for `stableRounds` consecutive pairs,
+    // with a floor of `reps` pairs and a wall-clock budget cap. All rates,
+    // the stopping reason, and the pair count are emitted in the JSON.
     val cdcJson = if (reps <= 0) "null" else {
+      val stableRounds = sys.env.getOrElse("SPARK_GRAFT_CDC_STABLE", "2").toInt
+      val maxPairs = sys.env.getOrElse("SPARK_GRAFT_CDC_MAX_REPS", "8").toInt
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_CDC_BUDGET_SEC", "2100").toLong
       val ratesN = new scala.collection.mutable.ArrayBuffer[Double]
       val rates4N = new scala.collection.mutable.ArrayBuffer[Double]
-      (1 to reps).foreach { _ =>
+      val t0 = System.nanoTime()
+      def elapsedSec = (System.nanoTime() - t0) / 1e9
+      var staleRounds = 0 // consecutive pairs with no new best at EITHER level
+      var stopReason = "max_reps"
+      var pair = 0
+      while (pair < maxPairs && stopReason == "max_reps") {
+        val bestN = if (ratesN.isEmpty) 0.0 else ratesN.max
+        val best4N = if (rates4N.isEmpty) 0.0 else rates4N.max
         ratesN += cdcReplayRate(nCores, cdcEvents)
         rates4N += cdcReplayRate(nCores * 4, cdcEvents)
+        pair += 1
+        val improved = ratesN.max > bestN * 1.01 || rates4N.max > best4N * 1.01
+        staleRounds = if (improved) 0 else staleRounds + 1
+        if (pair >= reps && staleRounds >= stableRounds) stopReason = "stable"
+        else if (pair >= reps && elapsedSec > budgetSec) stopReason = "budget"
       }
       val rateN = ratesN.max
       val rate4N = rates4N.max
@@ -135,7 +159,7 @@ object Bench {
       val rateFull = cdcReplayRate(32, cdcEvents)
       val rateFullMor = cdcReplayRate(32, cdcEvents, mode = "mor")
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.0f").mkString("[", ",", "]")
-      f"""{"events":$cdcEvents,"reps":$reps,"n_cores":$nCores,"4n_cores":${nCores * 4},""" +
+      f"""{"events":$cdcEvents,"reps":$pair,"stop_reason":"$stopReason","n_cores":$nCores,"4n_cores":${nCores * 4},""" +
         f""""events_per_sec_n":${rateN}%.0f,"events_per_sec_4n":${rate4N}%.0f,""" +
         f""""rates_n":${arr(ratesN.toSeq)},"rates_4n":${arr(rates4N.toSeq)},""" +
         f""""scaling_efficiency":${eff}%.3f,"events_per_sec_32core":${rateFull}%.0f,""" +
@@ -155,8 +179,14 @@ object Bench {
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""errors":$errJson,"sf":"$sfDir","cdc":$cdcJson}""")
+      s""""errors":$errJson,"sf":"$sfDir","cdc":$cdcJson}"""
+    println(json)
+    // also land the line in a file: sbt prefixes forked stdout with
+    // "[info] ", which broke the r2 driver's tail-parse (parsed: null)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    val w = new java.io.PrintWriter(outFile, "UTF-8")
+    try w.println(json) finally w.close()
   }
 }

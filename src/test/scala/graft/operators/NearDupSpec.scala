@@ -54,6 +54,23 @@ class NearDupSpec extends SparkTestBase {
     assert(falsePos == 0, s"false positives vs unrelated: $falsePos")
   }
 
+  test("emb_near_dup candidate volume is cap-bounded (the 100 TB guarantee)") {
+    // the r2 scale defect: unbounded band buckets degrade the "bucketed"
+    // join to ~N^2/buckets pairs. The fix bounds every bucket at ECAP, so
+    // candidate pairs <= sum over buckets of |b|^2/2 <= ECAP/2 * banded rows.
+    val dir = "/root/testdata/sf0.01"
+    val banded = DedupOps.embNearDupBanded(spark, dir)
+    val buckets = DedupOps.embNearDupBuckets(banded)
+    val sizes = buckets.select(size(col("members")).as("n"))
+      .agg(max(col("n")), sum((col("n").cast("long") * (col("n") - 1)))).head()
+    assert(sizes.getInt(0) <= DedupOps.ECAP,
+      s"bucket over cap: ${sizes.getInt(0)} > ${DedupOps.ECAP}")
+    val twicePairs = sizes.getLong(1)
+    val rows = banded.count()
+    assert(twicePairs <= DedupOps.ECAP.toLong * rows,
+      s"candidate pairs ${twicePairs / 2} exceed cap bound ${DedupOps.ECAP.toLong * rows / 2}")
+  }
+
   test("simhash: exact copies collide, near copies are close in hamming") {
     val dir = tmpDir("neardup2")
     fixture
