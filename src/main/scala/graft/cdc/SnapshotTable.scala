@@ -99,12 +99,26 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
 
   def loadManifest(): Option[Manifest] = {
     // fall back to the next-lower version if the top one is unreadable
-    // (cannot happen under tmp+rename, but costs nothing to tolerate)
+    // (cannot happen under tmp+rename, but costs nothing to tolerate).
+    // fs.open sits INSIDE the try: a version pruned between listStatus and
+    // open must also fall through to the next one, not propagate.
     manifestVersions().iterator.flatMap { v =>
-      val in = fs.open(manifestFile(v))
-      try Some(mapper.readValue(in: java.io.InputStream, classOf[Manifest]).normalized)
-      catch { case _: java.io.IOException => None }
-      finally in.close()
+      try {
+        val in = fs.open(manifestFile(v))
+        try {
+          val node = mapper.readTree(in: java.io.InputStream)
+          // jackson-module-scala does NOT apply the Scala constructor
+          // default for a missing field — epochWatermark would silently
+          // deserialize to 0 and fence a never-committed epoch 0. A manifest
+          // without the field is malformed (e.g. a hand-migrated legacy
+          // manifest.json): fail loudly instead of mis-fencing.
+          if (!node.has("epochWatermark"))
+            throw new IllegalStateException(
+              s"manifest ${manifestFile(v)} lacks epochWatermark — a migrated " +
+                "manifest must carry \"epochWatermark\": -1 explicitly")
+          Some(mapper.treeToValue(node, classOf[Manifest]).normalized)
+        } finally in.close()
+      } catch { case _: java.io.IOException => None }
     }.nextOption()
   }
 
@@ -113,7 +127,8 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
   // delete its data — refuse to open it rather than lose it silently.
   require(!fs.exists(new Path(root, "manifest.json")),
     s"table at $root has a legacy single-file manifest.json — migrate it to " +
-      "manifest-v<N>.json before opening with this version")
+      "manifest-v<N>.json (and add \"epochWatermark\": -1, which the legacy " +
+      "layout lacks) before opening with this version")
 
   // Reopening an existing table with a different bucketing would silently
   // misroute keys (constructor bucketCol vs on-disk layout) — fail fast.

@@ -83,8 +83,12 @@ object StreamingCdc {
         try {
           val bad = parsed.filter(col("_env").isNull ||
             col("_env")("source")("lsn").isNull || col("_env")("op").isNull)
+          // overwrite the epoch-keyed DLQ dir, never append: a checkpoint
+          // replay re-delivers the batch (same epochId) and an append would
+          // duplicate the dead letters — this is the DLQ's analogue of the
+          // main table's (bucket, epochId) fencing
           if (!bad.isEmpty)
-            bad.select("key", "value").write.mode("append")
+            bad.select("key", "value").write.mode("overwrite")
               .parquet(s"$deadLetterDir/epoch=$epochId")
           val good = parsed.filter(col("_env").isNotNull &&
               col("_env")("source")("lsn").isNotNull && col("_env")("op").isNotNull)

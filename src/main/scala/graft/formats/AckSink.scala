@@ -34,28 +34,39 @@ class AckSink(spark: SparkSession, root: String)(send: (Long, String) => Boolean
     else spark.range(0).select(col("id").as("recordId"))
   }
 
+  private def attemptDir(epochId: Long) = s"$root/attempts/epoch=$epochId"
+
   /**
    * Deliver one epoch of wire records `(recordId: long, wire: string)`:
    * attempts every not-yet-acked record once, appends the new acks, returns
    * (deliveredThisCall, holesRemaining). Call again to retry the holes;
    * acked records are never re-sent (the reference's restart semantics).
+   *
+   * The side-effecting send() runs under exactly ONE Spark action — the
+   * attempt-outcome parquet write. Counts and the ack ledger both derive
+   * from that durable output, so they can never disagree with each other or
+   * with what was actually sent (persist+multiple-actions could recompute
+   * the partition on cache eviction, re-sending records and counting
+   * different ok bits than the ledger recorded).
    */
   def deliverEpoch(wire: DataFrame, epochId: Long): (Long, Long) = {
     val f = send // avoid closing over the sink (hadoop conf isn't serializable)
     val pending = wire.select(col("recordId").cast("long").as("recordId"), col("wire"))
       .join(acked(epochId), Seq("recordId"), "left_anti")
     import spark.implicits._
-    val results = pending.as[(Long, String)]
+    // single action with side effects; overwrite = a stale prior attempt's
+    // outcomes are garbage (its acks are already in the ledger)
+    pending.as[(Long, String)]
       .mapPartitions(_.map { case (id, body) => (id, f(id, body)) })
       .toDF("recordId", "ok")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val delivered = results.filter(col("ok")).count()
-      val holes = results.filter(!col("ok")).count()
-      if (delivered > 0)
-        results.filter(col("ok")).select("recordId")
-          .write.mode("append").parquet(ackDir(epochId))
-      (delivered, holes)
-    } finally results.unpersist()
+      .write.mode("overwrite").parquet(attemptDir(epochId))
+    val outcome = spark.read.schema("recordId LONG, ok BOOLEAN")
+      .parquet(attemptDir(epochId))
+    val delivered = outcome.filter(col("ok")).count()
+    val holes = outcome.filter(!col("ok")).count()
+    if (delivered > 0)
+      outcome.filter(col("ok")).select("recordId")
+        .write.mode("append").parquet(ackDir(epochId))
+    (delivered, holes)
   }
 }

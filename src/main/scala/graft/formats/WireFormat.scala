@@ -34,15 +34,19 @@ object WireFormat {
    * column (string for json/cloudevents, binary for avro/proto), keeping
    * `keep` columns. The JSON path is a pure codegen'd expression; the binary
    * formats are per-partition encoders (see AvroWire/ProtoWire).
+   *
+   * `idCol` feeds the CloudEvents `id` attribute (1.0 spec: unique per
+   * source) — the source-assigned LSN by default, never a payload column
+   * picked by position.
    */
   def encode(df: DataFrame, format: String, payloadCols: Seq[String], schemaId: Int,
-             keep: Seq[String] = Seq.empty): DataFrame = format match {
+             keep: Seq[String] = Seq.empty, idCol: String = "lsn"): DataFrame = format match {
     case Json =>
       df.select(keep.map(col) :+
         to_json(struct(payloadCols.map(col): _*)).as("wire"): _*)
     case CloudEvents =>
       df.select(keep.map(col) :+
-        cloudEvents(struct(payloadCols.map(col): _*), col(payloadCols.head),
+        cloudEvents(struct(payloadCols.map(col): _*), col(idCol),
           "graft.cdc.change").as("wire"): _*)
     case Avro  => AvroWire.encode(df, payloadCols, schemaId, keep)
     case Proto => ProtoWire.encode(df, payloadCols, schemaId, keep)

@@ -26,6 +26,32 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(table.loadManifest().get.version == 1L)
   }
 
+  test("manifest without epochWatermark fails loudly instead of fencing epoch 0") {
+    // jackson-module-scala would deserialize the missing field to 0 (not the
+    // Scala default -1), silently marking never-committed epoch 0 as fenced
+    // — e.g. in a hand-migrated legacy manifest.json
+    val root = tmpDir("manifnowm")
+    val table = new SnapshotTable(spark, root, 2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, f"manifest-v${0L}%020d.json"),
+      """{"version":0,"numBuckets":2,"schemas":{},"currentSchemaId":0,"buckets":{},"epochs":[]}""")
+    val e = intercept[IllegalStateException](table.loadManifest())
+    assert(e.getMessage.contains("epochWatermark"))
+  }
+
+  test("unreadable top manifest version falls back to the next-lower one") {
+    val root = tmpDir("maniffall")
+    val table = new SnapshotTable(spark, root, 4)
+    val engine = new CdcEngine(spark, table, EngineConfig(numBuckets = 4))
+    engine.applyEpoch(EventGen.events(spark, 0, 2000, gen), 0L)
+    engine.applyEpoch(EventGen.events(spark, 2000, 4000, gen), 1L)
+    assert(table.loadManifest().get.version == 1L)
+    // delete v1's file after it was listed-as-present: loadManifest must
+    // fall through to v0 (open failure inside the try), not throw
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, f"manifest-v${1L}%020d.json"))
+    assert(table.loadManifest().get.version == 0L)
+  }
+
   test("old manifest versions are pruned, keeping the newest 3") {
     val root = tmpDir("manifprune")
     val table = new SnapshotTable(spark, root, 2)

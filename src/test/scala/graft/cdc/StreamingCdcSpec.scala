@@ -138,6 +138,31 @@ class StreamingCdcSpec extends SparkTestBase {
     assert(dead.columns.toSet == Set("key", "value", "epoch"), "dead letters keep the original wire record + epoch")
   }
 
+  test("checkpoint wipe does not duplicate dead letters (DLQ fencing)") {
+    import spark.implicits._
+    val wireDir = tmpDir("wiredlq")
+    val root = tmpDir("snap")
+    val table = new SnapshotTable(spark, root, numBuckets = 4)
+    val engine = new CdcEngine(spark, table)
+    Envelope.wrapJson(EventGen.events(spark, 0, 2000, gen))
+      .union(Seq(
+        ("""{"repo":"rX","path":"pX"}""", """{"after":{"commit":{"valu"""),
+        ("""{"repo":"rY","path":"pY"}""", """{"after":null,"source":{"txId":1},"op":"u","ts_ms":1}"""))
+        .toDF("key", "value"))
+      .coalesce(2).write.mode("append").parquet(wireDir)
+    val q = StreamingCdc.startDecoded(spark, engine, wireDir, tmpDir("ckpt1"), maxFilesPerTrigger = 4)
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.parquet(s"$root/deadletter").count() == 2)
+
+    // checkpoint wipe: every batch re-delivers with the same epoch ids; the
+    // DLQ write runs BEFORE the table's epoch fencing, so it must overwrite
+    // its epoch dir, not append — or the same corrupt records pile up
+    val q2 = StreamingCdc.startDecoded(spark, engine, wireDir, tmpDir("ckpt2"), maxFilesPerTrigger = 4)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$root/deadletter").count() == 2,
+      "re-delivered batches must not duplicate dead letters")
+  }
+
   test("checkpoint wipe (re-delivery of all batches) is fenced to a no-op") {
     val eventsDir = tmpDir("ev")
     val table = new SnapshotTable(spark, tmpDir("snap"), numBuckets = 4)
