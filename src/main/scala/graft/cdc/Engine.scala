@@ -43,9 +43,16 @@ final case class EngineConfig(
     // snapshot write (reference StorageSinkConnectorConfig.java:31-38)
     maxRecordsPerFile: Long = 0L,
     // F2 format selection (reference cdcsdk.server.format.{key,value},
-    // ServerApp.java:152-161): wire format used by WireSink delivery —
-    // "json" | "avro" | "proto" | "cloudevents"
-    format: String = graft.formats.WireFormat.Json
+    // ServerApp.java:152-161): the VALUE and KEY converters are selected
+    // INDEPENDENTLY, as in the reference (an Avro-key/JSON-value registry
+    // deployment is expressible) — "json" | "avro" | "proto" | "cloudevents"
+    format: String = graft.formats.WireFormat.Json,
+    keyFormat: String = graft.formats.WireFormat.Json,
+    // schemas.enable (reference ServerApp.java:177-183): embed the Connect
+    // schema block in every JSON wire record
+    schemasEnable: Boolean = false,
+    // wire-sink text compression (reference S3 CompressionType): "none"|"gzip"
+    wireCompression: String = "none"
 )
 
 class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfig = EngineConfig()) {
@@ -60,11 +67,13 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
 
   def lineageDir: String = s"${table.root}/lineage"
 
-  /** Serialized-delivery sink in the engine's configured wire format (the
-    * F2 selection knob actually selecting something): JSON / Avro / proto /
-    * CloudEvents, with the engine's file-rollover cap. */
+  /** Serialized-delivery sink in the engine's configured wire formats (the
+    * F2 selection knobs actually selecting something): JSON / Avro / proto /
+    * CloudEvents for value AND key independently, with the engine's
+    * file-rollover cap, schema embedding, and text compression. */
   def wireSink(root: String): graft.formats.WireSink =
-    new graft.formats.WireSink(spark, root, conf.format, conf.maxRecordsPerFile)
+    new graft.formats.WireSink(spark, root, conf.format, conf.maxRecordsPerFile,
+      conf.keyFormat, conf.schemasEnable, conf.wireCompression)
 
   /** Apply one epoch of raw (possibly duplicated / out-of-order) events.
     * Returns the number of rows applied, or -1 if the epoch was fenced. */

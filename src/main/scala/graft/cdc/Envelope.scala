@@ -57,10 +57,13 @@ object Envelope {
       StructField("ts_ms", LongType, nullable = true)))
   }
 
-  /** Build the after/before image column from bare payload columns. */
-  private def image(payload: Seq[String], ybCells: Boolean): Column = {
+  /** Build the after/before image column from bare payload columns; `prefix`
+    * reads the source columns as `<prefix><name>` while keeping the envelope
+    * field name bare (before images travel as before_* input columns). */
+  private def image(payload: Seq[String], ybCells: Boolean, prefix: String = ""): Column = {
     val fields = payload.map { c =>
-      val v = if (ybCells) struct(col(c).as("value"), lit(true).as("set")) else col(c)
+      val src = col(prefix + c)
+      val v = if (ybCells) struct(src.as("value"), lit(true).as("set")) else src
       v.as(c)
     }
     struct(fields: _*)
@@ -69,17 +72,29 @@ object Envelope {
   /**
    * Wrap flat change events (Model.eventSchemaV0 shape) into Kafka-Connect
    * style (key-JSON, value-JSON) wire records. `after` is null on deletes
-   * (Debezium: a delete's after image is null); `before` is not generated
-   * (REPLICA IDENTITY DEFAULT — deletes identify the row by key only).
+   * (Debezium: a delete's after image is null).
+   *
+   * `before` (reference envelope: S3ConsumerIT.java:117-144 documents the
+   * `{before, after, source}` shape) is emitted only under
+   * `replicaIdentityFull` — REPLICA IDENTITY FULL semantics: updates and
+   * deletes carry the old row image, creates/reads don't. The old image is
+   * read from `before_<col>` input columns (the engine's lag-per-key or the
+   * source's WAL old-tuple, depending on the caller). The default remains
+   * REPLICA IDENTITY DEFAULT: no before image at all.
    */
   def wrapJson(events: DataFrame, keyCols: Seq[String] = Model.keyCols,
                payloadCols: Seq[String] = Model.payloadCols,
-               ybCells: Boolean = true, table: String = "repo_files"): DataFrame = {
+               ybCells: Boolean = true, table: String = "repo_files",
+               replicaIdentityFull: Boolean = false): DataFrame = {
     val payload = keyCols ++ payloadCols
     val imgType = imageSchema(
       StructType(payload.map(c => events.schema(c).copy(nullable = true))), ybCells)
+    val beforeImg =
+      if (!replicaIdentityFull) lit(null).cast(imgType)
+      else when(col("op").isin("u", "d"), image(payload, ybCells, prefix = "before_"))
+        .otherwise(lit(null).cast(imgType))
     val env = struct(
-      lit(null).cast(imgType).as("before"),
+      beforeImg.as("before"),
       when(col("op") === "d", lit(null).cast(imgType))
         .otherwise(image(payload, ybCells)).as("after"),
       struct(
@@ -105,9 +120,13 @@ object Envelope {
    * true reads as NULL — YBExtractNewRecordState semantics), then the
    * FLATTEN/ExtractNewRecordState projection. Keys come from the key
    * document (a delete's after image is null), lsn/txId from `source`.
+   *
+   * `withBefore` additionally exposes the old row image as `before_<col>`
+   * columns (REPLICA IDENTITY FULL consumers: old-value auditing/diffing) —
+   * null for creates/reads, the before cells for updates/deletes.
    */
   def decodeJson(wire: DataFrame, keySchema: StructType, payload: StructType,
-                 ybCells: Boolean = true): DataFrame = {
+                 ybCells: Boolean = true, withBefore: Boolean = false): DataFrame = {
     // parse each document ONCE into an intermediate column: projecting the
     // fields straight off from_json(...) would plant a fresh parse inside
     // EVERY output column (CollapseProject duplicates the expression — this
@@ -122,12 +141,15 @@ object Envelope {
       if (ybCells) when(img(f.name)("set") === true, img(f.name)("value"))
       else img(f.name)
     val payloadCols = payload.fields.toSeq.map(f => field(env("after"), f).as(f.name))
+    val beforeCols =
+      if (!withBefore) Seq.empty
+      else payload.fields.toSeq.map(f => field(env("before"), f).as(s"before_${f.name}"))
     val keyColumns = keySchema.fieldNames.toSeq.map(n => key(n).as(n))
     parsed.select(
       (env("source")("lsn").as("lsn") +:
         env("op").as("op") +:
         keyColumns) ++
-      payloadCols :+
+      payloadCols ++ beforeCols :+
       env("source")("txId").as("txId") :+
       env("ts_ms").as("ts_ms"): _*)
   }

@@ -50,8 +50,13 @@ object ReplayJob {
     val bcast = sys.env.getOrElse("SPARK_GRAFT_BCAST", (256L << 20).toString).toLong // bytes
     val tableMode = sys.env.getOrElse("SPARK_GRAFT_TABLE_MODE", "cow")
     val table = new SnapshotTable(spark, tableRoot, buckets, mode = tableMode)
+    // generic config plumbing (reference ServerApp.java:237-253): any
+    // GRAFT_ENGINE_* env var remaps to a graft.engine.* property and
+    // configures the engine (format selection, offset-flush cadence, ...);
+    // the job's explicit args/knobs override on top
+    val base = ServerConfig.engineConfig(ServerConfig.propsFromEnv(sys.env))
     val engine = new CdcEngine(spark, table,
-      EngineConfig(numBuckets = buckets, broadcastThresholdBytes = bcast,
+      base.copy(numBuckets = buckets, broadcastThresholdBytes = bcast,
         lateMaterialize = !sys.env.get("SPARK_GRAFT_LATEMAT").contains("0")))
 
     val t0 = System.nanoTime()

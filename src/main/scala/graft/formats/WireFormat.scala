@@ -17,6 +17,31 @@ object WireFormat {
   val Proto = "proto"
   val CloudEvents = "cloudevents"
 
+  /** Kafka-Connect JSON schema block for a flat StructType — what the
+    * reference embeds per record when `schemas.enable` is on
+    * (ServerApp.java:177-183 toggling the Debezium JSON converter's
+    * schema embedding). Constant per schema, so encode inlines it as a
+    * string literal: zero per-row cost. */
+  def connectSchemaJson(st: StructType, name: String = "graft.cdc.Value"): String = {
+    def typ(dt: org.apache.spark.sql.types.DataType): String = dt match {
+      case org.apache.spark.sql.types.StringType    => "string"
+      case org.apache.spark.sql.types.LongType      => "int64"
+      case org.apache.spark.sql.types.IntegerType   => "int32"
+      case org.apache.spark.sql.types.ShortType     => "int16"
+      case org.apache.spark.sql.types.ByteType      => "int8"
+      case org.apache.spark.sql.types.DoubleType    => "float64"
+      case org.apache.spark.sql.types.FloatType     => "float32"
+      case org.apache.spark.sql.types.BooleanType   => "boolean"
+      case org.apache.spark.sql.types.BinaryType    => "bytes"
+      case other => throw new IllegalArgumentException(
+        s"schemas.enable JSON supports flat primitive payloads, got $other")
+    }
+    val fields = st.fields.map(f =>
+      s"""{"type":"${typ(f.dataType)}","optional":${f.nullable},"field":"${f.name}"}""")
+      .mkString("[", ",", "]")
+    s"""{"type":"struct","fields":$fields,"optional":false,"name":"$name"}"""
+  }
+
   /** CloudEvents 1.0 JSON envelope around the payload struct (deterministic:
     * id = source-assigned lsn, no UUIDs — SURVEY §7.3). Pure expression. */
   def cloudEvents(payload: Column, id: Column, eventType: String,
@@ -40,10 +65,19 @@ object WireFormat {
    * picked by position.
    */
   def encode(df: DataFrame, format: String, payloadCols: Seq[String], schemaId: Int,
-             keep: Seq[String] = Seq.empty, idCol: String = "lsn"): DataFrame = format match {
+             keep: Seq[String] = Seq.empty, idCol: String = "lsn",
+             schemasEnable: Boolean = false): DataFrame = format match {
     case Json =>
-      df.select(keep.map(col) :+
-        to_json(struct(payloadCols.map(col): _*)).as("wire"): _*)
+      val payload = to_json(struct(payloadCols.map(col): _*))
+      // schemas.enable: wrap as {"schema": <connect schema>, "payload": {...}}
+      // — the schema block is a per-schema CONSTANT, concatenated as a
+      // literal (no per-row schema rendering)
+      val wire = if (!schemasEnable) payload else {
+        val st = StructType(payloadCols.map(c => df.schema(c)))
+        concat(lit(s"""{"schema":${connectSchemaJson(st)},"payload":"""),
+          payload, lit("}"))
+      }
+      df.select(keep.map(col) :+ wire.as("wire"): _*)
     case CloudEvents =>
       df.select(keep.map(col) :+
         cloudEvents(struct(payloadCols.map(col): _*), col(idCol),
@@ -55,7 +89,14 @@ object WireFormat {
 
   /** Deserialize a `wire` column back to flat payload columns. */
   def decode(df: DataFrame, format: String, registry: Map[Int, StructType],
-             schemaId: Int, keep: Seq[String] = Seq.empty): DataFrame = format match {
+             schemaId: Int, keep: Seq[String] = Seq.empty,
+             schemasEnable: Boolean = false): DataFrame = format match {
+    case Json if schemasEnable =>
+      val target = registry(schemaId)
+      val env = StructType(Seq(
+        org.apache.spark.sql.types.StructField("payload", target)))
+      df.select(keep.map(col) :+ from_json(col("wire"), env).as("_e"): _*)
+        .select(keep.map(col) ++ target.fieldNames.map(n => col(s"_e.payload.$n")): _*)
     case Json =>
       val target = registry(schemaId)
       df.select(keep.map(col) :+ from_json(col("wire"), target).as("_p"): _*)
@@ -81,9 +122,15 @@ object WireFormat {
  * equivalent, StorageSinkConnectorConfig.java:31-38).
  */
 class WireSink(spark: SparkSession, root: String, format: String,
-               maxRecordsPerFile: Long = 0L) {
+               maxRecordsPerFile: Long = 0L,
+               keyFormat: String = WireFormat.Json,
+               schemasEnable: Boolean = false,
+               compression: String = "none") {
 
   def epochDir(epochId: Long): String = f"$root/epoch=$epochId"
+
+  private def sized(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
+    if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
 
   /** Write one epoch of serialized records; returns the records written
     * (observed on the write job itself — no second evaluation of the
@@ -91,14 +138,17 @@ class WireSink(spark: SparkSession, root: String, format: String,
   def writeEpoch(events: DataFrame, epochId: Long, payloadCols: Seq[String],
                  schemaId: Int = 0): Long = {
     val obs = org.apache.spark.sql.Observation(s"wire-epoch-$epochId")
-    val wire = WireFormat.encode(events, format, payloadCols, schemaId)
+    val wire = WireFormat.encode(events, format, payloadCols, schemaId,
+        schemasEnable = schemasEnable)
       .observe(obs, count(lit(1)).as("rows"))
-    val writer = wire.write.mode("overwrite")
-    val sized = if (maxRecordsPerFile > 0)
-      writer.option("maxRecordsPerFile", maxRecordsPerFile) else writer
+    val writer = sized(wire.write.mode("overwrite"))
     format match {
-      case WireFormat.Json | WireFormat.CloudEvents => sized.text(epochDir(epochId))
-      case _                                        => sized.parquet(epochDir(epochId))
+      case WireFormat.Json | WireFormat.CloudEvents =>
+        // reference parity: the S3 sink gzips its jsonl objects
+        // (cdcsdk-server-s3/.../CompressionType.java); spark text handles
+        // the codec both ways
+        writer.option("compression", compression).text(epochDir(epochId))
+      case _ => writer.parquet(epochDir(epochId))
     }
     obs.get("rows").asInstanceOf[Long]
   }
@@ -110,6 +160,37 @@ class WireSink(spark: SparkSession, root: String, format: String,
         spark.read.text(epochDir(epochId)).withColumnRenamed("value", "wire")
       case _ => spark.read.parquet(epochDir(epochId))
     }
-    WireFormat.decode(raw, format, registry, schemaId)
+    WireFormat.decode(raw, format, registry, schemaId, schemasEnable = schemasEnable)
+  }
+
+  /** Kafka-Connect record shape: (key, value) pairs with INDEPENDENTLY
+    * selected converters (reference F2, `cdcsdk.server.format.{key,value}` —
+    * ServerApp.java:152-153; converter split
+    * ConvertingEngineBuilder.java:148-234). The epoch lands as parquet of
+    * two wire columns (string or binary per format). */
+  def writeEpochKV(events: DataFrame, epochId: Long, keyCols: Seq[String],
+                   payloadCols: Seq[String], schemaId: Int = 0): Long = {
+    val obs = org.apache.spark.sql.Observation(s"wire-kv-epoch-$epochId")
+    val withValue = WireFormat.encode(events, format, payloadCols, schemaId,
+        keep = keyCols :+ "lsn", schemasEnable = schemasEnable)
+      .withColumnRenamed("wire", "value")
+    val kv = WireFormat.encode(withValue, keyFormat, keyCols, schemaId,
+        keep = Seq("value"), idCol = "lsn")
+      .withColumnRenamed("wire", "key")
+      .select("key", "value")
+      .observe(obs, count(lit(1)).as("rows"))
+    sized(kv.write.mode("overwrite")).parquet(epochDir(epochId))
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Decode a (key, value) epoch back to flat key + payload columns. */
+  def readEpochKV(epochId: Long, keyRegistry: Map[Int, StructType],
+                  valueRegistry: Map[Int, StructType], schemaId: Int): DataFrame = {
+    val raw = spark.read.parquet(epochDir(epochId))
+    val keyFlat = WireFormat.decode(raw.withColumnRenamed("key", "wire"),
+      keyFormat, keyRegistry, schemaId, keep = Seq("value"))
+    WireFormat.decode(keyFlat.withColumnRenamed("value", "wire"),
+      format, valueRegistry, schemaId,
+      keep = keyRegistry(schemaId).fieldNames.toSeq, schemasEnable = schemasEnable)
   }
 }

@@ -228,6 +228,57 @@ object CdcQueries {
         .orderBy("event_id")
     }),
 
+    // F2 INDEPENDENT key/value converters (reference
+    // cdcsdk.server.format.{key,value}, ServerApp.java:152-153): Avro key +
+    // JSON value — the registry-backed-Kafka deployment shape — encoded and
+    // decoded through different converter families on the same records,
+    // value-level identity as the gate
+    "cdc_wire_keyvalue" -> ((s, d) => {
+      val payload = ev(s, d).select(col("event_id").as("lsn"), col("user_id"),
+        col("event_type").as("op"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
+      val keyT = StructType(Seq(payload.schema("user_id")))
+      val valT = StructType(Seq("op", "k", "v").map(payload.schema(_)))
+      val withValue = graft.formats.WireFormat.encode(payload,
+          graft.formats.WireFormat.Json, Seq("op", "k", "v"), 0,
+          keep = Seq("lsn", "user_id"))
+        .withColumnRenamed("wire", "value")
+      val kv = graft.formats.AvroWire.encode(withValue, Seq("user_id"), 0,
+          keep = Seq("lsn", "value"))
+        .withColumnRenamed("wire", "key")
+      val keyFlat = graft.formats.AvroWire.decode(
+        kv.withColumnRenamed("key", "wire"), Map(0 -> keyT), 0, keep = Seq("lsn", "value"))
+      graft.formats.WireFormat.decode(keyFlat.withColumnRenamed("value", "wire"),
+          graft.formats.WireFormat.Json, Map(0 -> valT), 0, keep = Seq("lsn", "user_id"))
+        .orderBy("lsn")
+    }),
+
+    // before-image support (REPLICA IDENTITY FULL — reference envelope
+    // carries `before`, S3ConsumerIT.java:117-144): updates/deletes wrap the
+    // old row image (here the previous event's value per key, via lag),
+    // creates don't; decode exposes before_* columns. Value-level identity
+    // through the REAL Envelope.wrapJson/decodeJson operator surface.
+    "cdc_envelope_before" -> ((s, d) => {
+      val byKey = Window.partitionBy(col("user_id")).orderBy(col("lsn"))
+      val op = when(col("event_type") === "error", "d")
+        .when(col("event_type") === "click", "u").otherwise(lit("c"))
+      val base = ev(s, d).select(
+          col("event_id").as("lsn"), op.as("op"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
+        .withColumn("before_user_id", lag(col("user_id"), 1).over(byKey))
+        .withColumn("before_k", lag(col("k"), 1).over(byKey))
+      val wire = Envelope.wrapJson(base, keyCols = Seq("user_id"),
+        payloadCols = Seq("k"), ybCells = true, table = "events",
+        replicaIdentityFull = true)
+      Envelope.decodeJson(wire,
+          StructType(Seq(StructField("user_id", LongType))),
+          StructType(Seq(StructField("k", IntegerType))),
+          ybCells = true, withBefore = true)
+        .select(col("lsn"), col("op"), col("user_id"), col("k"), col("before_k"))
+        .orderBy("lsn")
+    }),
+
     // F5 time-pattern path rendering ({YEAR}/{MONTH}/... object naming,
     // deterministic — no UUID, see SURVEY §7.3)
     "cdc_time_path" -> ((s, d) =>
@@ -362,6 +413,24 @@ object CdcQueries {
         |       THEN CAST(json_extract(value, '$.after.k.value') AS INTEGER) END AS k,
         |  CAST(json_extract(value, '$.ts_ms') AS BIGINT) AS ts_ms
         |FROM wire ORDER BY event_id""".stripMargin,
+    "cdc_wire_keyvalue" ->
+      """SELECT event_id AS lsn, user_id, event_type AS op,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value AS v
+        |FROM events ORDER BY lsn""".stripMargin,
+    "cdc_envelope_before" ->
+      """WITH base AS (
+        |  SELECT event_id AS lsn,
+        |    CASE WHEN event_type = 'error' THEN 'd'
+        |         WHEN event_type = 'click' THEN 'u' ELSE 'c' END AS op,
+        |    user_id,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |    lag(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS prev_k
+        |  FROM events)
+        |SELECT lsn, op, user_id,
+        |  CASE WHEN op <> 'd' THEN k END AS k,
+        |  CASE WHEN op IN ('u', 'd') THEN prev_k END AS before_k
+        |FROM base ORDER BY lsn""".stripMargin,
     "cdc_time_path" ->
       """SELECT event_id,
         |       CAST(year(ts) AS VARCHAR) || '/' || lpad(CAST(month(ts) AS VARCHAR), 2, '0')

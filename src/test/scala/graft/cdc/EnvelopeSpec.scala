@@ -51,6 +51,34 @@ class EnvelopeSpec extends SparkTestBase {
     assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
   }
 
+  test("REPLICA IDENTITY FULL: before image round-trips on u/d, absent on c/r") {
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy("repo", "path").orderBy("lsn")
+    val ev = EventGen.events(spark, 0, 20000, gen)
+      .withColumn("before_repo", lag(col("repo"), 1).over(byKey))
+      .withColumn("before_path", lag(col("path"), 1).over(byKey))
+      .withColumn("before_commit", lag(col("commit"), 1).over(byKey))
+      .withColumn("before_lang", lag(col("lang"), 1).over(byKey))
+      .withColumn("before_content", lag(col("content"), 1).over(byKey))
+    val back = Envelope.decodeJson(
+      Envelope.wrapJson(ev, replicaIdentityFull = true),
+      keySchema, payloadSchema, withBefore = true)
+    // u/d: before_* == the previous event's image for the key
+    val want = ev.filter(col("op").isin("u", "d"))
+      .select(col("lsn"), col("before_commit"), col("before_content"))
+    val got = back.filter(col("op").isin("u", "d"))
+      .select(col("lsn"), col("before_commit"), col("before_content"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // c/r: no before image at all
+    assert(back.filter(!col("op").isin("u", "d"))
+      .filter(col("before_commit").isNotNull || col("before_content").isNotNull)
+      .isEmpty, "creates/reads must not carry a before image")
+    // default (REPLICA IDENTITY DEFAULT) still omits before entirely
+    val defaultWire = Envelope.wrapJson(ev).select("value").as[String].head()
+    assert(!defaultWire.contains("\"before\":{"),
+      "default replica identity must not emit a before image")
+  }
+
   test("E2E: envelope-encoded stream replayed through the exactly-once MERGE sink") {
     val table = new SnapshotTable(spark, tmpDir("envsnap"), 4)
     val engine = new CdcEngine(spark, table, EngineConfig(numBuckets = 4))

@@ -74,6 +74,66 @@ class WireFormatSpec extends SparkTestBase {
     assert(got(1).getAs[Array[Byte]]("blob").isEmpty && got(1).getAs[Short]("sh") == -5.toShort)
   }
 
+  test("independent key/value converters: avro key + json value (F2 split)") {
+    val ev = events
+    val keyCols = Seq("repo", "path")
+    // disjoint from the key (duplicate column names break set-op comparisons)
+    val valCols = Seq("op", "commit", "lang", "content", "ts_ms")
+    val keyT = StructType(keyCols.map(ev.schema(_)))
+    val valT = StructType(valCols.map(ev.schema(_)))
+    val root = tmpDir("wirekv")
+    // the engine's TWO format knobs drive the sink end to end
+    val engine = new graft.cdc.CdcEngine(spark,
+      new graft.cdc.SnapshotTable(spark, tmpDir("wirekv-t"), 2),
+      graft.cdc.EngineConfig(numBuckets = 2,
+        format = WireFormat.Json, keyFormat = WireFormat.Avro))
+    val sink = engine.wireSink(root)
+    val n = sink.writeEpochKV(ev, 0L, keyCols, valCols)
+    assert(n == 3000L)
+    // on-disk record shape: binary avro key, string json value
+    val raw = spark.read.parquet(sink.epochDir(0L))
+    assert(raw.schema("key").dataType == BinaryType)
+    assert(raw.schema("value").dataType == StringType)
+    val back = sink.readEpochKV(0L, Map(0 -> keyT), Map(0 -> valT), 0)
+    val want = ev.select((keyCols ++ valCols).map(col): _*)
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty,
+      "kv round trip must be the identity across both converters")
+  }
+
+  test("schemas.enable embeds the Connect schema block; round trip still identity") {
+    val ev = events
+    val pt = payloadType(ev)
+    val wire = WireFormat.encode(ev, WireFormat.Json, payloadCols, 0,
+      keep = Seq("lsn"), schemasEnable = true)
+    val sample = wire.select("wire").as[String].head()
+    assert(sample.startsWith("""{"schema":{"type":"struct","fields":["""),
+      s"schema block missing: ${sample.take(120)}")
+    assert(sample.contains(""""field":"op""""))
+    assert(sample.contains(""""type":"int64","optional":false,"field":"ts_ms""""))
+    val back = WireFormat.decode(wire, WireFormat.Json, Map(0 -> pt), 0,
+      keep = Seq("lsn"), schemasEnable = true)
+    val want = ev.select("lsn", payloadCols: _*)
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
+  test("gzip wire sink: compressed text epoch reads back value-equal") {
+    val root = tmpDir("wiregz")
+    val engine = new graft.cdc.CdcEngine(spark,
+      new graft.cdc.SnapshotTable(spark, tmpDir("wiregz-t"), 2),
+      graft.cdc.EngineConfig(numBuckets = 2,
+        format = WireFormat.Json, wireCompression = "gzip"))
+    val sink = engine.wireSink(root)
+    val ev = events
+    assert(sink.writeEpoch(ev, 0L, payloadCols, 0) == 3000L)
+    val parts = new java.io.File(sink.epochDir(0L)).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".gz")),
+      s"expected gzipped parts, got ${parts.map(_.getName).mkString(",")}")
+    val back = sink.readEpoch(0L, Map(0 -> payloadType(ev)), 0)
+    val want = ev.select(payloadCols.map(col): _*)
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
   test("WireSink: format-selected delivery with rollover, read-back equality") {
     Seq(WireFormat.Json, WireFormat.Avro, WireFormat.Proto).foreach { fmt =>
       val root = tmpDir(s"wiresink-$fmt")
