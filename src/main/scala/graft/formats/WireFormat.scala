@@ -171,11 +171,15 @@ class WireSink(spark: SparkSession, root: String, format: String,
   def writeEpochKV(events: DataFrame, epochId: Long, keyCols: Seq[String],
                    payloadCols: Seq[String], schemaId: Int = 0): Long = {
     val obs = org.apache.spark.sql.Observation(s"wire-kv-epoch-$epochId")
+    // only a CloudEvents converter needs the lsn threaded through (its id
+    // attribute) — don't impose the column on every input otherwise
+    val id = if (format == WireFormat.CloudEvents || keyFormat == WireFormat.CloudEvents)
+      Seq("lsn") else Seq.empty
     val withValue = WireFormat.encode(events, format, payloadCols, schemaId,
-        keep = keyCols :+ "lsn", schemasEnable = schemasEnable)
+        keep = keyCols ++ id, schemasEnable = schemasEnable)
       .withColumnRenamed("wire", "value")
     val kv = WireFormat.encode(withValue, keyFormat, keyCols, schemaId,
-        keep = Seq("value"), idCol = "lsn")
+        keep = Seq("value") ++ id, idCol = "lsn")
       .withColumnRenamed("wire", "key")
       .select("key", "value")
       .observe(obs, count(lit(1)).as("rows"))

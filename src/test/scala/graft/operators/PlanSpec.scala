@@ -59,6 +59,14 @@ class PlanSpec extends SparkTestBase {
       s"envelope decode must not shuffle:\n$p")
   }
 
+  test("before-image envelope round trip is expression-only with bounded shuffles") {
+    val p = plan("cdc_envelope_before")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), s"UDF in plan:\n$p")
+    // one hash exchange for the per-key lag window + the final sort's range
+    // exchange — wrap/decode themselves must not shuffle
+    assert(p.split("Exchange").length <= 3, s"unexpected extra shuffle:\n$p")
+  }
+
   test("LSH projections are codegen'd dot_q, not interpreted aggregate(zip_with) pairs") {
     val p = plan("emb_lsh_ann")
     assert(p.contains("dot_q"), s"expected dot_q projections:\n$p")
