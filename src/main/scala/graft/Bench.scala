@@ -174,8 +174,8 @@ object Bench {
       // contended window (throughput is monotone in cores up to the
       // ceiling) — retry up to 3 times and keep the best.
       def bestFull(mode: String): Double = {
-        var best = 0.0
-        var tries = 0
+        var best = cdcReplayRate(32, cdcEvents, mode)
+        var tries = 1
         while (tries < 3 && best < rate4N) {
           best = math.max(best, cdcReplayRate(32, cdcEvents, mode))
           tries += 1

@@ -253,6 +253,24 @@ object CdcQueries {
         .orderBy("lsn")
     }),
 
+    // F1/F2 schemas.enable (reference ServerApp.java:177-183): JSON wire
+    // with the Connect schema block embedded per record — encode+decode
+    // round trip through the schema-embedded path must be the identity
+    // (the block's CONTENT is asserted in WireFormatSpec; this gates the
+    // wire path end to end in the driver's oracle)
+    "cdc_schema_embed" -> ((s, d) => {
+      val payload = ev(s, d).select(col("event_id").as("lsn"),
+        col("event_type").as("op"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
+      val pt = StructType(Seq("op", "k", "v").map(payload.schema(_)))
+      val wire = graft.formats.WireFormat.encode(payload,
+        graft.formats.WireFormat.Json, Seq("op", "k", "v"), 0,
+        keep = Seq("lsn"), schemasEnable = true)
+      graft.formats.WireFormat.decode(wire, graft.formats.WireFormat.Json,
+          Map(0 -> pt), 0, keep = Seq("lsn"), schemasEnable = true)
+        .orderBy("lsn")
+    }),
+
     // before-image support (REPLICA IDENTITY FULL — reference envelope
     // carries `before`, S3ConsumerIT.java:117-144): updates/deletes wrap the
     // old row image (here the previous event's value per key, via lag),
@@ -413,6 +431,10 @@ object CdcQueries {
         |       THEN CAST(json_extract(value, '$.after.k.value') AS INTEGER) END AS k,
         |  CAST(json_extract(value, '$.ts_ms') AS BIGINT) AS ts_ms
         |FROM wire ORDER BY event_id""".stripMargin,
+    "cdc_schema_embed" ->
+      """SELECT event_id AS lsn, event_type AS op,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value AS v
+        |FROM events ORDER BY lsn""".stripMargin,
     "cdc_wire_keyvalue" ->
       """SELECT event_id AS lsn, user_id, event_type AS op,
         |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, value AS v
