@@ -56,6 +56,7 @@ object DedupOps {
 
   /** one row per (vector, band) with the band's sign-LSH signature */
   private[operators] def embNearDupBanded(s: SparkSession, d: String): DataFrame = {
+    DotQ.register(s) // bandSignatures projects through dot_q — self-contained
     val e = Tables.embeddings(s, d).select(col("vec_id"),
       transform(col("embedding"), x => round(x.cast("double") * 1000).cast("long")).as("q"))
     val bandCols = VectorOps.bandSignatures(col("q"), EMB_BANDS, EMB_PLANES, dim = 64)
