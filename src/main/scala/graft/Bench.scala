@@ -72,6 +72,31 @@ object Bench {
       }
   }
 
+  /** Fixed-work host-contention probe: `threads` spinners sha256-ing a
+    * 64 KiB buffer for ~`probeMs`; returns total digests/sec. Pure CPU, no
+    * allocation after warmup, so the reading tracks how much of the shared
+    * host's compute THIS process can actually get right now — the r3
+    * post-mortem showed multi-hour phases where even a 32-core replay read
+    * 2.5x below quiet while looking perfectly "stable"; this probe makes
+    * such windows visible BEFORE a 3-minute replay pair is spent in one. */
+  private def cpuProbe(threads: Int, probeMs: Long = 1500): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val count = new java.util.concurrent.atomic.AtomicLong(0)
+    val ts = (0 until threads).map { _ =>
+      val t = new Thread(() => {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val buf = new Array[Byte](65536)
+        var n = 0L
+        while (!stop.get()) { md.update(buf); md.digest(); n += 1 }
+        count.addAndGet(n)
+      })
+      t.setDaemon(true); t
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); Thread.sleep(probeMs); stop.set(true); ts.foreach(_.join())
+    count.get() / ((System.nanoTime() - t0) / 1e9)
+  }
+
   private val jdk17AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
     "java.base/java.io", "java.base/java.net", "java.base/java.nio",
@@ -138,31 +163,66 @@ object Bench {
     // keep hunting for a quiet window until the wall-clock budget or the
     // pair cap. All rates, the stopping reason, and the pair count are
     // emitted in the JSON; best-of over more reps is still best-of.
+    // Protocol v4 (r3 verdict task #1): WINDOW QUALIFICATION. Before each
+    // pair, a ~1.5 s fixed-work CPU probe at 1 and 4 threads is compared to
+    // the session's best probe readings. A pair launched in a throttled
+    // window (probe < QUAL_FRAC of best) is still measured and still feeds
+    // best-of, but does NOT consume the qualified-pair cap — the cap budget
+    // is reserved for windows where a representative reading is possible.
+    // When throttle is detected the loop first WAITS (short sleeps, bounded)
+    // for the host to quiet rather than burning 3-minute replay pairs into a
+    // depressed window; after `maxWaits` consecutive waits it measures
+    // anyway so the hunt always makes progress. All probe readings, wait
+    // counts and the qualified/total split are emitted in the JSON so a
+    // depressed run is self-documenting.
     val cdcJson = if (reps <= 0) "null" else {
       val stableRounds = sys.env.getOrElse("SPARK_GRAFT_CDC_STABLE", "2").toInt
-      val maxPairs = sys.env.getOrElse("SPARK_GRAFT_CDC_MAX_REPS", "14").toInt
-      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_CDC_BUDGET_SEC", "2400").toLong
+      val maxPairs = sys.env.getOrElse("SPARK_GRAFT_CDC_MAX_REPS", "24").toInt
+      val budgetSec = sys.env.getOrElse("SPARK_GRAFT_CDC_BUDGET_SEC", "7200").toLong
       val effTarget = sys.env.getOrElse("SPARK_GRAFT_CDC_EFF_TARGET", "0.8").toDouble
+      val qualFrac = sys.env.getOrElse("SPARK_GRAFT_CDC_QUAL_FRAC", "0.9").toDouble
+      val waitSec = sys.env.getOrElse("SPARK_GRAFT_CDC_WAIT_SEC", "30").toLong
+      val maxWaits = sys.env.getOrElse("SPARK_GRAFT_CDC_MAX_WAITS", "10").toInt
       val ratesN = new scala.collection.mutable.ArrayBuffer[Double]
       val rates4N = new scala.collection.mutable.ArrayBuffer[Double]
+      val probes = new scala.collection.mutable.ArrayBuffer[(Double, Double, Boolean)]
       val t0 = System.nanoTime()
       def elapsedSec = (System.nanoTime() - t0) / 1e9
+      // calibrate the probe baseline (2 readings per arity; best kept)
+      var best1 = 0.0; var best4 = 0.0
+      (1 to 2).foreach { _ =>
+        best1 = math.max(best1, cpuProbe(1)); best4 = math.max(best4, cpuProbe(4))
+      }
       var staleRounds = 0 // consecutive pairs with no new best at EITHER level
       var stopReason: String = null
-      var pair = 0
+      var qualified = 0   // pairs measured in quiet windows (consume the cap)
+      var measured = 0    // all pairs measured
+      var waits = 0       // total throttle waits
+      var waitStreak = 0  // consecutive waits since the last measured pair
       while (stopReason == null) {
-        val bestN = if (ratesN.isEmpty) 0.0 else ratesN.max
-        val best4N = if (rates4N.isEmpty) 0.0 else rates4N.max
-        ratesN += cdcReplayRate(nCores, cdcEvents)
-        rates4N += cdcReplayRate(nCores * 4, cdcEvents)
-        pair += 1
-        val improved = ratesN.max > bestN * 1.01 || rates4N.max > best4N * 1.01
-        staleRounds = if (improved) 0 else staleRounds + 1
-        val effNow = (rates4N.max / ratesN.max) / 4.0
-        if (pair >= maxPairs) stopReason = "max_reps"
-        else if (pair >= reps && staleRounds >= stableRounds && effNow >= effTarget)
-          stopReason = "stable"
-        else if (pair >= reps && elapsedSec > budgetSec) stopReason = "budget"
+        val p1 = cpuProbe(1); val p4 = cpuProbe(4)
+        best1 = math.max(best1, p1); best4 = math.max(best4, p4)
+        val quiet = p1 >= qualFrac * best1 && p4 >= qualFrac * best4
+        probes += ((p1, p4, quiet))
+        if (!quiet && waitStreak < maxWaits && elapsedSec < budgetSec) {
+          waits += 1; waitStreak += 1; Thread.sleep(waitSec * 1000)
+        } else {
+          waitStreak = 0
+          val bestN = if (ratesN.isEmpty) 0.0 else ratesN.max
+          val best4N = if (rates4N.isEmpty) 0.0 else rates4N.max
+          ratesN += cdcReplayRate(nCores, cdcEvents)
+          rates4N += cdcReplayRate(nCores * 4, cdcEvents)
+          measured += 1
+          if (quiet) qualified += 1
+          val improved = ratesN.max > bestN * 1.01 || rates4N.max > best4N * 1.01
+          staleRounds = if (improved) 0 else staleRounds + 1
+          val effNow = (rates4N.max / ratesN.max) / 4.0
+          if (qualified >= maxPairs) stopReason = "max_reps"
+          else if (measured >= maxPairs * 2) stopReason = "max_total_reps"
+          else if (measured >= reps && staleRounds >= stableRounds && effNow >= effTarget)
+            stopReason = "stable"
+          else if (measured >= reps && elapsedSec > budgetSec) stopReason = "budget"
+        }
       }
       val rateN = ratesN.max
       val rate4N = rates4N.max
@@ -172,24 +232,28 @@ object Bench {
       // realistic streaming-upsert configuration). Sanity floor: a
       // full-machine reading BELOW the 4-core best is self-evidently a
       // contended window (throughput is monotone in cores up to the
-      // ceiling) — retry up to 3 times and keep the best.
-      def bestFull(mode: String): Double = {
-        var best = cdcReplayRate(32, cdcEvents, mode)
-        var tries = 1
-        while (tries < 3 && best < rate4N) {
-          best = math.max(best, cdcReplayRate(32, cdcEvents, mode))
-          tries += 1
-        }
-        best
+      // ceiling) — retry up to 3 times, keep the best, and emit EVERY
+      // reading (discards included) so the best-of is auditable.
+      def fullReadings(mode: String): Seq[Double] = {
+        val all = new scala.collection.mutable.ArrayBuffer[Double]
+        all += cdcReplayRate(32, cdcEvents, mode)
+        while (all.size < 3 && all.max < rate4N)
+          all += cdcReplayRate(32, cdcEvents, mode)
+        all.toSeq
       }
-      val rateFull = bestFull("cow")
-      val rateFullMor = bestFull("mor")
+      val fullCow = fullReadings("cow")
+      val fullMor = fullReadings("mor")
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.0f").mkString("[", ",", "]")
-      f"""{"events":$cdcEvents,"reps":$pair,"stop_reason":"$stopReason","n_cores":$nCores,"4n_cores":${nCores * 4},""" +
+      val probeJson = probes.map { case (p1, p4, q) =>
+        f"""[${p1}%.0f,${p4}%.0f,${if (q) 1 else 0}]""" }.mkString("[", ",", "]")
+      f"""{"events":$cdcEvents,"reps":$measured,"qualified_reps":$qualified,""" +
+        f""""throttle_waits":$waits,"stop_reason":"$stopReason","n_cores":$nCores,"4n_cores":${nCores * 4},""" +
         f""""events_per_sec_n":${rateN}%.0f,"events_per_sec_4n":${rate4N}%.0f,""" +
         f""""rates_n":${arr(ratesN.toSeq)},"rates_4n":${arr(rates4N.toSeq)},""" +
-        f""""scaling_efficiency":${eff}%.3f,"events_per_sec_32core":${rateFull}%.0f,""" +
-        f""""events_per_sec_32core_mor":${rateFullMor}%.0f}"""
+        f""""probe_best":[${best1}%.0f,${best4}%.0f],"probes":$probeJson,""" +
+        f""""scaling_efficiency":${eff}%.3f,"events_per_sec_32core":${fullCow.max}%.0f,""" +
+        f""""events_per_sec_32core_mor":${fullMor.max}%.0f,""" +
+        f""""full_rates_cow":${arr(fullCow)},"full_rates_mor":${arr(fullMor)}}"""
     }
 
     // full JSON string escape — exception text can carry backslashes,
