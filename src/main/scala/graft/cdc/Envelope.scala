@@ -85,7 +85,21 @@ object Envelope {
   def wrapJson(events: DataFrame, keyCols: Seq[String] = Model.keyCols,
                payloadCols: Seq[String] = Model.payloadCols,
                ybCells: Boolean = true, table: String = "repo_files",
-               replicaIdentityFull: Boolean = false): DataFrame = {
+               replicaIdentityFull: Boolean = false): DataFrame =
+    events.select(
+      to_json(struct(keyCols.map(col): _*)).as("key"),
+      to_json(envelopeStruct(events, keyCols, payloadCols, ybCells, table,
+        replicaIdentityFull)).as("value"))
+
+  /** The envelope as a nested STRUCT column (the shape the Avro/Proto
+    * converters serialize directly — a registry-Kafka deployment running
+    * WITHOUT the FLATTEN transform ships exactly this nesting on the wire,
+    * ConvertingEngineBuilder.java:198-234). `wrapJson` is its to_json
+    * rendering. */
+  def envelopeStruct(events: DataFrame, keyCols: Seq[String] = Model.keyCols,
+                     payloadCols: Seq[String] = Model.payloadCols,
+                     ybCells: Boolean = true, table: String = "repo_files",
+                     replicaIdentityFull: Boolean = false): Column = {
     val payload = keyCols ++ payloadCols
     val imgType = imageSchema(
       StructType(payload.map(c => events.schema(c).copy(nullable = true))), ybCells)
@@ -93,7 +107,7 @@ object Envelope {
       if (!replicaIdentityFull) lit(null).cast(imgType)
       else when(col("op").isin("u", "d"), image(payload, ybCells, prefix = "before_"))
         .otherwise(lit(null).cast(imgType))
-    val env = struct(
+    struct(
       beforeImg.as("before"),
       when(col("op") === "d", lit(null).cast(imgType))
         .otherwise(image(payload, ybCells)).as("after"),
@@ -109,9 +123,6 @@ object Envelope {
         col("lsn").as("lsn")).as("source"),
       col("op").as("op"),
       col("ts_ms").as("ts_ms"))
-    events.select(
-      to_json(struct(keyCols.map(col): _*)).as("key"),
-      to_json(env).as("value"))
   }
 
   /**

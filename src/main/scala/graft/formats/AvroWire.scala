@@ -32,7 +32,13 @@ object AvroWire {
 
   val MAGIC: Byte = 0x00
 
-  private def avroType(dt: DataType): Schema = dt match {
+  /** Recursive: nested structs become named records (record name = the
+    * field path, so sibling nestings never collide), arrays become avro
+    * arrays — the reference's converter serializes ANY Connect schema,
+    * including the full nested {before, after, source} envelope
+    * (ConvertingEngineBuilder.java:198-234; envelope shape
+    * S3ConsumerIT.java:117-144). */
+  private def avroType(dt: DataType, path: String): Schema = dt match {
     case LongType    => Schema.create(Schema.Type.LONG)
     case IntegerType => Schema.create(Schema.Type.INT)
     case ShortType   => Schema.create(Schema.Type.INT)
@@ -41,21 +47,87 @@ object AvroWire {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case StringType  => Schema.create(Schema.Type.STRING)
     case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case st: StructType => avroSchema(st, path)
+    case ArrayType(et, containsNull) =>
+      Schema.createArray(fieldSchema(et, containsNull, s"${path}_item"))
     case other => throw new IllegalArgumentException(s"unsupported avro field type $other")
   }
 
-  /** Spark StructType -> Avro record schema (nullable = union(null, T)). */
+  /** nullable = union(null, T) at any nesting depth */
+  private def fieldSchema(dt: DataType, nullable: Boolean, path: String): Schema =
+    if (nullable)
+      Schema.createUnion(java.util.Arrays.asList(
+        Schema.create(Schema.Type.NULL), avroType(dt, path)))
+    else avroType(dt, path)
+
+  /** Spark StructType -> Avro record schema (recursive; nullable fields are
+    * union(null, T) with a null default). */
   def avroSchema(st: StructType, name: String): Schema = {
     val fields = st.fields.map { f =>
-      val t =
-        if (f.nullable)
-          Schema.createUnion(java.util.Arrays.asList(
-            Schema.create(Schema.Type.NULL), avroType(f.dataType)))
-        else avroType(f.dataType)
-      new Schema.Field(f.name, t, null,
-        if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+      new Schema.Field(f.name, fieldSchema(f.dataType, f.nullable, s"${name}_${f.name}"),
+        null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
     Schema.createRecord(name, null, "graft", false, java.util.Arrays.asList(fields: _*))
+  }
+
+  /** the non-null branch of a union(null, T), or the schema itself */
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION) {
+      val it = s.getTypes.iterator()
+      var r: Schema = null
+      while (it.hasNext && r == null) {
+        val t = it.next(); if (t.getType != Schema.Type.NULL) r = t
+      }
+      r
+    } else s
+
+  /** Spark value -> avro datum, recursively. The scalar mismatches vs
+    * Spark's types: BYTES wants ByteBuffer (union resolution rejects
+    * Array[Byte]) and INT wants Integer (Short fails instanceof Integer). */
+  private def toDatum(v: Any, dt: DataType, schema: Schema): Any =
+    if (v == null) null
+    else dt match {
+      case st: StructType =>
+        val s = nonNull(schema)
+        val row = v.asInstanceOf[Row]
+        val rec = new GenericData.Record(s)
+        var i = 0
+        while (i < st.fields.length) {
+          val f = st.fields(i)
+          rec.put(f.name,
+            if (row.isNullAt(i)) null
+            else toDatum(row.get(i), f.dataType, s.getField(f.name).schema()))
+          i += 1
+        }
+        rec
+      case ArrayType(et, _) =>
+        val s = nonNull(schema)
+        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+        val list = new java.util.ArrayList[Any](seq.length)
+        seq.foreach(e => list.add(toDatum(e, et, s.getElementType)))
+        list
+      case BinaryType => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case ShortType  => Int.box(v.asInstanceOf[Short].toInt)
+      case _          => v
+    }
+
+  /** avro datum -> Spark value, recursively (Utf8 -> String, ByteBuffer ->
+    * Array[Byte], GenericRecord -> Row, avro array -> Seq). */
+  private def fromDatum(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case u: Utf8 => u.toString
+    case bb: java.nio.ByteBuffer =>
+      val a = new Array[Byte](bb.remaining()); bb.get(a); a
+    case rec: GenericRecord =>
+      val st = dt.asInstanceOf[StructType]
+      Row.fromSeq(st.fields.toIndexedSeq.map(f => fromDatum(rec.get(f.name), f.dataType)))
+    case l: java.util.List[_] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      val b = Seq.newBuilder[Any]
+      l.forEach(e => b += fromDatum(e, et))
+      b.result()
+    case i: Integer if dt == ShortType => Short.box(i.shortValue())
+    case _ => v
   }
 
   private def header(schemaId: Int): Array[Byte] =
@@ -89,20 +161,7 @@ object AvroWire {
         var encoder = EncoderFactory.get().binaryEncoder(bos, null)
         rows.map { row =>
           val p = row.getStruct(row.length - 1)
-          val rec = new GenericData.Record(schema)
-          payloadType.fields.zipWithIndex.foreach { case (f, i) =>
-            // avro datum types differ from Spark's for two cases: BYTES
-            // wants ByteBuffer (union resolution rejects Array[Byte]) and
-            // INT wants Integer (Short fails instanceof Integer)
-            val v =
-              if (p.isNullAt(i)) null
-              else f.dataType match {
-                case BinaryType => java.nio.ByteBuffer.wrap(p.getAs[Array[Byte]](i))
-                case ShortType  => Int.box(p.getShort(i).toInt)
-                case _          => p.get(i)
-              }
-            rec.put(f.name, v)
-          }
+          val rec = toDatum(p, payloadType, schema).asInstanceOf[GenericRecord]
           bos.reset()
           bos.write(hdr, 0, hdr.length)
           encoder = EncoderFactory.get().binaryEncoder(bos, encoder)
@@ -139,16 +198,7 @@ object AvroWire {
           val reader = new GenericDatumReader[GenericRecord](schemaFor(id), targetAvro)
           val decoder = DecoderFactory.get().binaryDecoder(wire, 5, wire.length - 5, null)
           val rec = reader.read(null, decoder)
-          val vals = target.fields.map { f =>
-            rec.get(f.name) match {
-              case null     => null
-              case u: Utf8  => u.toString
-              case bb: java.nio.ByteBuffer =>
-                val a = new Array[Byte](bb.remaining()); bb.get(a); a
-              case v: Integer if f.dataType == ShortType => Short.box(v.shortValue())
-              case v        => v
-            }
-          }
+          val vals = target.fields.map(f => fromDatum(rec.get(f.name), f.dataType))
           new GenericRowWithSchema(
             (row.toSeq.dropRight(1) ++ vals).toArray, outSchema): Row
         }

@@ -297,6 +297,45 @@ object CdcQueries {
         .orderBy("lsn")
     }),
 
+    // F1 the FULL nested envelope through the Avro converter (reference
+    // ConvertingEngineBuilder.java:198-234 serializes ANY Connect schema —
+    // the registry-Kafka default runs Avro WITHOUT the FLATTEN transform, so
+    // the {before, after{cells}, source{...}, op, ts_ms} nesting itself goes
+    // on the wire): struct-envelope -> registry-framed Avro binary ->
+    // decode -> cell-normalized flatten, value-identity as the gate
+    "cdc_envelope_avro" -> ((s, d) => {
+      val byKey = Window.partitionBy(col("user_id")).orderBy(col("lsn"))
+      val op = when(col("event_type") === "error", "d")
+        .when(col("event_type") === "click", "u").otherwise(lit("c"))
+      val base = ev(s, d).select(
+          col("event_id").as("lsn"), op.as("op"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
+        .withColumn("before_user_id", lag(col("user_id"), 1).over(byKey))
+        .withColumn("before_k", lag(col("k"), 1).over(byKey))
+      val withEnv = base.select(col("lsn").as("event_lsn"),
+        Envelope.envelopeStruct(base, keyCols = Seq("user_id"),
+          payloadCols = Seq("k"), ybCells = true, table = "events",
+          replicaIdentityFull = true).as("env"))
+      // registry entry = the runtime schema (writer and reader must agree
+      // bit-exactly — binary Avro has no self-describing fallback)
+      val envT = StructType(Seq(withEnv.schema("env")))
+      val wire = graft.formats.AvroWire.encode(withEnv, Seq("env"), 7,
+        keep = Seq("event_lsn"))
+      val e = col("env")
+      def cell(img: org.apache.spark.sql.Column, f: String) =
+        when(img(f)("set") === true, img(f)("value"))
+      graft.formats.AvroWire.decode(wire, Map(7 -> envT), 7, keep = Seq("event_lsn"))
+        .select(
+          col("event_lsn").as("lsn"),
+          e("op").as("op"),
+          cell(e("after"), "user_id").as("user_id"),
+          cell(e("after"), "k").as("k"),
+          cell(e("before"), "user_id").as("before_user_id"),
+          cell(e("before"), "k").as("before_k"))
+        .orderBy("lsn")
+    }),
+
     // F5 time-pattern path rendering ({YEAR}/{MONTH}/... object naming,
     // deterministic — no UUID, see SURVEY §7.3)
     "cdc_time_path" -> ((s, d) =>
@@ -451,6 +490,23 @@ object CdcQueries {
         |  FROM events)
         |SELECT lsn, op, user_id,
         |  CASE WHEN op <> 'd' THEN k END AS k,
+        |  CASE WHEN op IN ('u', 'd') THEN prev_k END AS before_k
+        |FROM base ORDER BY lsn""".stripMargin,
+    "cdc_envelope_avro" ->
+      """WITH base AS (
+        |  SELECT event_id AS lsn,
+        |    CASE WHEN event_type = 'error' THEN 'd'
+        |         WHEN event_type = 'click' THEN 'u' ELSE 'c' END AS op,
+        |    user_id,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |    lag(user_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_user_id,
+        |    lag(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS prev_k
+        |  FROM events)
+        |SELECT lsn, op,
+        |  CASE WHEN op <> 'd' THEN user_id END AS user_id,
+        |  CASE WHEN op <> 'd' THEN k END AS k,
+        |  CASE WHEN op IN ('u', 'd') THEN prev_user_id END AS before_user_id,
         |  CASE WHEN op IN ('u', 'd') THEN prev_k END AS before_k
         |FROM base ORDER BY lsn""".stripMargin,
     "cdc_time_path" ->

@@ -74,6 +74,49 @@ class WireFormatSpec extends SparkTestBase {
     assert(got(1).getAs[Array[Byte]]("blob").isEmpty && got(1).getAs[Short]("sh") == -5.toShort)
   }
 
+  test("avro nested structs and arrays round trip (envelope-shaped nesting)") {
+    // the registry-Kafka default ships the UNFLATTENED envelope through the
+    // Avro converter — three-level nesting ({before/after}{cell{value,set}}),
+    // nullable unions at every depth, plus arrays incl. array-of-struct
+    val cell = StructType(Seq(
+      StructField("value", IntegerType, nullable = true),
+      StructField("set", BooleanType, nullable = true)))
+    val img = StructType(Seq(
+      StructField("user_id", StructType(Seq(
+        StructField("value", LongType, nullable = true),
+        StructField("set", BooleanType, nullable = true))), nullable = true),
+      StructField("k", cell, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("env", StructType(Seq(
+        StructField("before", img, nullable = true),
+        StructField("after", img, nullable = true),
+        StructField("tags", ArrayType(StringType, containsNull = true), nullable = true),
+        StructField("nums", ArrayType(LongType, containsNull = false), nullable = true),
+        StructField("cells", ArrayType(cell, containsNull = true), nullable = true)
+      )), nullable = true)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row(
+        null,
+        org.apache.spark.sql.Row(org.apache.spark.sql.Row(7L, true),
+          org.apache.spark.sql.Row(3, true)),
+        Seq("a", null, "c"), Seq(1L, 2L),
+        Seq(org.apache.spark.sql.Row(5, false), null))),
+      org.apache.spark.sql.Row(2L, org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(org.apache.spark.sql.Row(5L, true),
+          org.apache.spark.sql.Row(null, false)),
+        null, null, Seq.empty[Long], null)),
+      org.apache.spark.sql.Row(3L, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val pt = StructType(Seq(schema("env")))
+    val back = AvroWire.decode(
+      AvroWire.encode(df, Seq("env"), 0, keep = Seq("id")),
+      Map(0 -> pt), 0, keep = Seq("id"))
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "nested avro round trip must be the identity")
+  }
+
   test("independent key/value converters: avro key + json value (F2 split)") {
     val ev = events
     val keyCols = Seq("repo", "path")
