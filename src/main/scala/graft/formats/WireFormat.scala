@@ -17,29 +17,80 @@ object WireFormat {
   val Proto = "proto"
   val CloudEvents = "cloudevents"
 
-  /** Kafka-Connect JSON schema block for a flat StructType — what the
-    * reference embeds per record when `schemas.enable` is on
-    * (ServerApp.java:177-183 toggling the Debezium JSON converter's
-    * schema embedding). Constant per schema, so encode inlines it as a
-    * string literal: zero per-row cost. */
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private val primName: Map[org.apache.spark.sql.types.DataType, String] = {
+    import org.apache.spark.sql.types._
+    Map(StringType -> "string", LongType -> "int64", IntegerType -> "int32",
+      ShortType -> "int16", ByteType -> "int8", DoubleType -> "float64",
+      FloatType -> "float32", BooleanType -> "boolean", BinaryType -> "bytes")
+  }
+  private val primType: Map[String, org.apache.spark.sql.types.DataType] =
+    primName.map(_.swap)
+
+  /** Kafka-Connect JSON schema block for a StructType — what the reference
+    * embeds per record when `schemas.enable` is on (ServerApp.java:177-183
+    * toggling the Debezium JSON converter's schema embedding). Recursive:
+    * nested structs/arrays render as Connect `struct`/`array` schema nodes
+    * (the converter accepts ANY Connect schema, incl. the unflattened
+    * envelope). Constant per schema, so encode inlines it as a string
+    * literal: zero per-row cost. Interpolated names are JSON-escaped. */
   def connectSchemaJson(st: StructType, name: String = "graft.cdc.Value"): String = {
-    def typ(dt: org.apache.spark.sql.types.DataType): String = dt match {
-      case org.apache.spark.sql.types.StringType    => "string"
-      case org.apache.spark.sql.types.LongType      => "int64"
-      case org.apache.spark.sql.types.IntegerType   => "int32"
-      case org.apache.spark.sql.types.ShortType     => "int16"
-      case org.apache.spark.sql.types.ByteType      => "int8"
-      case org.apache.spark.sql.types.DoubleType    => "float64"
-      case org.apache.spark.sql.types.FloatType     => "float32"
-      case org.apache.spark.sql.types.BooleanType   => "boolean"
-      case org.apache.spark.sql.types.BinaryType    => "bytes"
-      case other => throw new IllegalArgumentException(
-        s"schemas.enable JSON supports flat primitive payloads, got $other")
+    import org.apache.spark.sql.types._
+    def typeJson(dt: DataType, optional: Boolean, field: Option[String],
+                 structName: Option[String] = None): String = {
+      val fieldAttr = field.map(f => s""","field":"${jsonEscape(f)}"""").getOrElse("")
+      dt match {
+        case s: StructType =>
+          val fields = s.fields.map(f => typeJson(f.dataType, f.nullable, Some(f.name)))
+            .mkString("[", ",", "]")
+          val nameAttr = structName.map(n => s""","name":"${jsonEscape(n)}"""").getOrElse("")
+          s"""{"type":"struct","fields":$fields,"optional":$optional$nameAttr$fieldAttr}"""
+        case ArrayType(et, containsNull) =>
+          s"""{"type":"array","items":${typeJson(et, containsNull, None)},"optional":$optional$fieldAttr}"""
+        case p => primName.get(p) match {
+          case Some(n) => s"""{"type":"$n","optional":$optional$fieldAttr}"""
+          case None => throw new IllegalArgumentException(
+            s"schemas.enable JSON does not support field type $p")
+        }
+      }
     }
-    val fields = st.fields.map(f =>
-      s"""{"type":"${typ(f.dataType)}","optional":${f.nullable},"field":"${f.name}"}""")
-      .mkString("[", ",", "]")
-    s"""{"type":"struct","fields":$fields,"optional":false,"name":"$name"}"""
+    typeJson(st, optional = false, field = None, structName = Some(name))
+  }
+
+  /** Parse a Connect JSON schema block back to a StructType — the other half
+    * of `schemas.enable`: a self-describing record is decodable from its OWN
+    * embedded schema, no registry needed (the reference decodes its offsets
+    * exactly this way, MTEngine.java:654-660). */
+  def connectSchemaFromJson(json: String): StructType = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def parse(node: com.fasterxml.jackson.databind.JsonNode): org.apache.spark.sql.types.DataType =
+      node.get("type").asText() match {
+        case "struct" =>
+          val fields = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.types.StructField]
+          node.get("fields").elements().forEachRemaining { f =>
+            fields += org.apache.spark.sql.types.StructField(
+              f.get("field").asText(), parse(f), f.path("optional").asBoolean(true))
+          }
+          org.apache.spark.sql.types.StructType(fields.toArray)
+        case "array" =>
+          val items = node.get("items")
+          org.apache.spark.sql.types.ArrayType(parse(items),
+            items.path("optional").asBoolean(true))
+        case p => primType.getOrElse(p, throw new IllegalArgumentException(
+          s"unknown connect schema type '$p'"))
+      }
+    parse(mapper.readTree(json)) match {
+      case st: StructType => st
+      case other => throw new IllegalArgumentException(
+        s"connect schema block must be a struct, got $other")
+    }
   }
 
   /** CloudEvents 1.0 JSON envelope around the payload struct (deterministic:
@@ -87,16 +138,40 @@ object WireFormat {
     case other => throw new IllegalArgumentException(s"unknown wire format $other")
   }
 
+  /**
+   * `schemas.enable` decode driven by the EMBEDDED schema blocks — the whole
+   * point of the format: records are self-describing, decodable with no
+   * registry (reference MTEngine.java:654-660 restores offsets exactly so).
+   * The distinct schema blocks are collected (one per schema VERSION present
+   * in the batch — a handful — NOT per row), parsed, and merged across
+   * versions (plus the optional registry `fallback`, which seeds field
+   * order); the payload decodes with that merged StructType, so a
+   * schema-drifted record's added/widened columns read correctly instead of
+   * as nulls.
+   */
+  def decodeEmbedded(df: DataFrame, keep: Seq[String] = Seq.empty,
+                     fallback: Option[StructType] = None): DataFrame = {
+    // driver-side collect bounded by distinct schema VERSIONS, not rows
+    // (partial agg collapses duplicates map-side before the tiny shuffle)
+    val embedded = df.select(get_json_object(col("wire"), "$.schema").as("s"))
+      .filter(col("s").isNotNull).distinct().collect()
+      .map(r => connectSchemaFromJson(r.getString(0)))
+    val target = (fallback.toSeq ++ embedded)
+      .reduceOption(graft.cdc.SchemaEvolution.merge)
+      .getOrElse(throw new IllegalArgumentException(
+        "schemas.enable decode: no embedded schema block found and no registry fallback"))
+    val env = StructType(Seq(
+      org.apache.spark.sql.types.StructField("payload", target)))
+    df.select(keep.map(col) :+ from_json(col("wire"), env).as("_e"): _*)
+      .select(keep.map(col) ++ target.fieldNames.map(n => col(s"_e.payload.$n")): _*)
+  }
+
   /** Deserialize a `wire` column back to flat payload columns. */
   def decode(df: DataFrame, format: String, registry: Map[Int, StructType],
              schemaId: Int, keep: Seq[String] = Seq.empty,
              schemasEnable: Boolean = false): DataFrame = format match {
     case Json if schemasEnable =>
-      val target = registry(schemaId)
-      val env = StructType(Seq(
-        org.apache.spark.sql.types.StructField("payload", target)))
-      df.select(keep.map(col) :+ from_json(col("wire"), env).as("_e"): _*)
-        .select(keep.map(col) ++ target.fieldNames.map(n => col(s"_e.payload.$n")): _*)
+      decodeEmbedded(df, keep, registry.get(schemaId))
     case Json =>
       val target = registry(schemaId)
       df.select(keep.map(col) :+ from_json(col("wire"), target).as("_p"): _*)
@@ -178,8 +253,10 @@ class WireSink(spark: SparkSession, root: String, format: String,
     val withValue = WireFormat.encode(events, format, payloadCols, schemaId,
         keep = keyCols ++ id, schemasEnable = schemasEnable)
       .withColumnRenamed("wire", "value")
+    // schemas.enable applies to BOTH converters (reference maps the knob to
+    // key.converter AND value.converter, ServerApp.java configToProperties)
     val kv = WireFormat.encode(withValue, keyFormat, keyCols, schemaId,
-        keep = Seq("value") ++ id, idCol = "lsn")
+        keep = Seq("value") ++ id, idCol = "lsn", schemasEnable = schemasEnable)
       .withColumnRenamed("wire", "key")
       .select("key", "value")
       .observe(obs, count(lit(1)).as("rows"))
@@ -192,9 +269,13 @@ class WireSink(spark: SparkSession, root: String, format: String,
                   valueRegistry: Map[Int, StructType], schemaId: Int): DataFrame = {
     val raw = spark.read.parquet(epochDir(epochId))
     val keyFlat = WireFormat.decode(raw.withColumnRenamed("key", "wire"),
-      keyFormat, keyRegistry, schemaId, keep = Seq("value"))
+      keyFormat, keyRegistry, schemaId, keep = Seq("value"),
+      schemasEnable = schemasEnable)
+    // keep = whatever key columns actually decoded (registry-less
+    // schemas.enable decodes can't consult keyRegistry for the list)
     WireFormat.decode(keyFlat.withColumnRenamed("value", "wire"),
       format, valueRegistry, schemaId,
-      keep = keyRegistry(schemaId).fieldNames.toSeq, schemasEnable = schemasEnable)
+      keep = keyFlat.columns.toSeq.filterNot(_ == "value"),
+      schemasEnable = schemasEnable)
   }
 }

@@ -159,6 +159,83 @@ class WireFormatSpec extends SparkTestBase {
     assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
   }
 
+  test("schemas.enable decode follows the embedded schema — no registry needed") {
+    // self-describing records are the whole point of schemas.enable
+    // (reference MTEngine.java:654-660): a drifted schema with an added
+    // column must decode correctly with NO registry entry at all
+    val v1 = events.withColumn("stars", (col("lsn") % 5).cast("int"))
+    val wire = WireFormat.encode(v1, WireFormat.Json, payloadCols :+ "stars", 1,
+      keep = Seq("lsn"), schemasEnable = true)
+    val back = WireFormat.decode(wire, WireFormat.Json, Map.empty, 1,
+      keep = Seq("lsn"), schemasEnable = true)
+    val want = v1.select("lsn", payloadCols :+ "stars": _*)
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
+  test("schemas.enable: mixed-version batch decodes via the merged embedded schemas") {
+    val ev = events
+    val wire0 = WireFormat.encode(ev, WireFormat.Json, payloadCols, 0,
+      keep = Seq("lsn"), schemasEnable = true).withColumn("v", lit(0))
+    val v1 = ev.withColumn("stars", (col("lsn") % 5).cast("int"))
+    val wire1 = WireFormat.encode(v1, WireFormat.Json, payloadCols :+ "stars", 1,
+      keep = Seq("lsn"), schemasEnable = true).withColumn("v", lit(1))
+    val back = WireFormat.decode(wire0.unionByName(wire1), WireFormat.Json,
+      Map.empty, 0, keep = Seq("lsn", "v"), schemasEnable = true)
+    assert(back.columns.contains("stars"))
+    assert(back.filter(col("v") === 0 && col("stars").isNotNull).isEmpty,
+      "v0 records must read the added column as NULL")
+    assert(back.filter(col("v") === 1)
+      .filter(col("stars").isNull || col("stars") =!= pmod(col("lsn"), lit(5)).cast("int"))
+      .isEmpty, "v1 records must carry their stars values")
+  }
+
+  test("schemas.enable: embedded schema widens over a stale registry entry") {
+    val df = Seq((1L, 3000000000L), (2L, -7L)).toDF("lsn", "big")
+    val wire = WireFormat.encode(df, WireFormat.Json, Seq("big"), 0,
+      keep = Seq("lsn"), schemasEnable = true)
+    val stale = StructType(Seq(StructField("big", IntegerType, nullable = true)))
+    val back = WireFormat.decode(wire, WireFormat.Json, Map(0 -> stale), 0,
+      keep = Seq("lsn"), schemasEnable = true)
+    assert(back.schema("big").dataType == LongType,
+      "embedded int64 must widen the stale registry int32")
+    assert(back.orderBy("lsn").select("big").as[Long].collect().toSeq ==
+      Seq(3000000000L, -7L))
+  }
+
+  test("schemas.enable applies to the KEY converter too (KV epoch)") {
+    val root = tmpDir("wirekv-se")
+    val engine = new graft.cdc.CdcEngine(spark,
+      new graft.cdc.SnapshotTable(spark, tmpDir("wirekv-se-t"), 2),
+      graft.cdc.EngineConfig(numBuckets = 2, format = WireFormat.Json,
+        keyFormat = WireFormat.Json, schemasEnable = true))
+    val sink = engine.wireSink(root)
+    val ev = events
+    sink.writeEpochKV(ev, 0L, Seq("repo", "path"), Seq("op", "commit"))
+    val k = spark.read.parquet(sink.epochDir(0L)).select("key").as[String].head()
+    assert(k.startsWith("""{"schema":{"type":"struct""""),
+      s"key must carry the Connect schema block, got: ${k.take(80)}")
+    // both sides decode from their embedded schemas alone
+    val back = sink.readEpochKV(0L, Map.empty, Map.empty, 0)
+    val want = ev.select("repo", "path", "op", "commit")
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
+  test("connect schema JSON escapes hostile names and round-trips nested types") {
+    val nested = StructType(Seq(
+      StructField("""a"b\c""", StringType, nullable = true),
+      StructField("inner", StructType(Seq(
+        StructField("x", LongType, nullable = false))), nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = true), nullable = false)))
+    val json = WireFormat.connectSchemaJson(nested)
+    // must be valid JSON despite the quote/backslash in the field name
+    val parsed = WireFormat.connectSchemaFromJson(json)
+    assert(parsed == StructType(Seq(
+      StructField("""a"b\c""", StringType, nullable = true),
+      StructField("inner", StructType(Seq(
+        StructField("x", LongType, nullable = false))), nullable = true),
+      StructField("tags", ArrayType(StringType, containsNull = true), nullable = false))))
+  }
+
   test("gzip wire sink: compressed text epoch reads back value-equal") {
     val root = tmpDir("wiregz")
     val engine = new graft.cdc.CdcEngine(spark,
