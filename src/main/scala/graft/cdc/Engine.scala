@@ -165,9 +165,13 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
   // clobber newer data — the DBLog-style algorithm behind Debezium's
   // execute-snapshot signal (reference
   // cdcsdk-engine/src/test/java/io/debezium/pipeline/source/snapshot/incremental/AbstractIncrementalSnapshotTest.java:124-184).
-  // The signal queue is driver state (the reference keeps its incremental-
-  // snapshot context in memory too); resume-after-crash = re-issue the signal
-  // with the same baseEpoch — completed chunk epochs fence to no-ops.
+  // The signal queue is DURABLE (the reference's signal is a table row, not
+  // driver memory): each accepted signal lands as a JSON file under
+  // <root>/signals/ before it enters the in-memory queue, pending files are
+  // reloaded on engine construction, and a signal's file is deleted only
+  // when its last chunk has been applied — so a crash can never lose an
+  // accepted-but-unfinished signal, and a half-done snapshot resumes with
+  // its committed chunk epochs fencing to no-ops.
 
   /** @param baseEpoch deterministic epoch-id base for the chunk epochs
     *        (chunk i commits as epoch baseEpoch + i) — pick a range disjoint
@@ -179,11 +183,57 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
   private case class ActiveSnapshot(req: SnapshotRequest, var next: Int = 0)
   private var activeSnapshot: Option[ActiveSnapshot] = None
 
+  private def signalsDir = new Path(s"${table.root}/signals")
+  private def signalPath(baseEpoch: Long) = new Path(signalsDir, s"signal-$baseEpoch.json")
+  private def signalsFs =
+    signalsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // restore still-pending signals from a previous (possibly crashed) run —
+  // the signal-table semantics: issued once, survives restarts until done
+  locally {
+    val fs = signalsFs
+    if (fs.exists(signalsDir)) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      fs.listStatus(signalsDir).map(_.getPath)
+        .filter(_.getName.matches("signal-\\d+\\.json"))
+        .sortBy(_.getName.stripPrefix("signal-").stripSuffix(".json").toLong)
+        .foreach { p =>
+          val in = fs.open(p)
+          val node = try mapper.readTree(in) finally in.close()
+          // field-presence validation (jackson does NOT apply scala
+          // defaults for missing fields — a hole would read as 0)
+          require(node.hasNonNull("baseEpoch") && node.hasNonNull("selectionSql")
+            && node.hasNonNull("numChunks"), s"malformed signal file $p")
+          pendingSignals.enqueue(SnapshotRequest(node.get("baseEpoch").asLong(),
+            expr(node.get("selectionSql").asText()), node.get("numChunks").asInt()))
+        }
+    }
+  }
+
   /** The `execute-snapshot {data-collections: [...]}` signal: request an
-    * ad-hoc chunked re-snapshot of the keys matching `selection`. */
+    * ad-hoc chunked re-snapshot of the keys matching `selection`. The
+    * Column is rendered to its SQL for the durable signal row; use
+    * `signalSnapshotSql` for an already-textual predicate. */
   def signalSnapshot(baseEpoch: Long, selection: org.apache.spark.sql.Column,
                      numChunks: Int = 4): Unit =
-    pendingSignals.enqueue(SnapshotRequest(baseEpoch, selection, numChunks))
+    signalSnapshotSql(baseEpoch,
+      org.apache.spark.sql.ColumnSqlBridge.sql(selection), numChunks)
+
+  def signalSnapshotSql(baseEpoch: Long, selectionSql: String,
+                        numChunks: Int = 4): Unit = {
+    val esc = selectionSql.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val json =
+      s"""{"baseEpoch":$baseEpoch,"selectionSql":"$esc","numChunks":$numChunks}"""
+    // persist FIRST (accepted signal == durable signal), then enqueue
+    val fs = signalsFs
+    val out = fs.create(signalPath(baseEpoch), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    pendingSignals.enqueue(SnapshotRequest(baseEpoch, expr(selectionSql), numChunks))
+  }
 
   def snapshotInProgress: Boolean = activeSnapshot.nonEmpty || pendingSignals.nonEmpty
 
@@ -213,7 +263,11 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
       applyEpoch(chunkEvents(watermark, gen, run.req, run.next),
         run.req.baseEpoch + run.next)
       run.next += 1
-      if (run.next >= run.req.numChunks) activeSnapshot = None
+      if (run.next >= run.req.numChunks) {
+        activeSnapshot = None
+        // last chunk applied -> retire the durable signal row
+        signalsFs.delete(signalPath(run.req.baseEpoch), false)
+      }
       true
   }
 

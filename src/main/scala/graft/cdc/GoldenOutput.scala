@@ -30,14 +30,27 @@ object GoldenOutput {
       .sorted
   }
 
-  private def readEpoch(spark: SparkSession, root: String, epochId: Long): DataFrame =
-    spark.read.text(f"$root/epoch=$epochId").select(col("value").as("wire"))
+  /** Detect the epoch's on-disk layout: text parts (json/cloudevents
+    * WireSink epochs, possibly gzipped) vs parquet parts (avro/proto binary
+    * wire and KV epochs) — reading a parquet recording as raw text would
+    * produce meaningless byte diffs instead of a comparison. */
+  private def readEpoch(spark: SparkSession, root: String, epochId: Long): DataFrame = {
+    val dir = new Path(f"$root/epoch=$epochId")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(dir).map(_.getPath.getName).filter(_.startsWith("part-"))
+    if (parts.exists(_.contains(".parquet"))) spark.read.parquet(dir.toString)
+    else spark.read.text(dir.toString).select(col("value").as("wire"))
+  }
 
   /** multiset difference (both directions) of one epoch's delivered records. */
   def diffEpoch(spark: SparkSession, goldenRoot: String, candidateRoot: String,
                 epochId: Long): Long = {
     val g = readEpoch(spark, goldenRoot, epochId)
     val c = readEpoch(spark, candidateRoot, epochId)
+    if (g.schema != c.schema)
+      throw new IllegalStateException(
+        s"epoch $epochId: recording layouts differ (golden ${g.schema.simpleString} " +
+          s"vs candidate ${c.schema.simpleString}) — runs used different wire formats")
     g.exceptAll(c).count() + c.exceptAll(g).count()
   }
 

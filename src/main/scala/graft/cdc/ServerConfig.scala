@@ -62,6 +62,15 @@ object ServerConfig {
    *  - `hoistfield`  (T5, reference HoistField): nest `fields` (csv) under
    *                a new struct column `into`
    *  - `renamefield` (ReplaceField.renames): rename `from` to `to`
+   *  - `unwrap`      (T2, the reference's most-used SMT — FLATTEN /
+   *                ExtractNewRecordState expanded into the chain by
+   *                ServerApp.java:162-190): decode (key, value) wire JSON
+   *                through `Envelope.decodeJson`. Schemas come from config
+   *                as Spark DDL: `key.ddl` / `payload.ddl` (e.g.
+   *                `user_id BIGINT, k INT`); optional `yb.cells`
+   *                (default true — YBExtractNewRecordState cell
+   *                normalization) and `with.before` (default false —
+   *                REPLICA IDENTITY FULL before_* columns)
    */
   def transformChain(props: Map[String, String],
                      prefix: String = "graft.transforms"): DataFrame => DataFrame = {
@@ -87,6 +96,15 @@ object ServerConfig {
         case "renamefield" =>
           val from = p("from"); val to = p("to")
           (df: DataFrame) => df.withColumnRenamed(from, to)
+        case "unwrap" =>
+          // fail loudly at BUILD time on bad DDL (same contract as the
+          // other steps), not when the first batch hits the chain
+          val keySchema = org.apache.spark.sql.types.StructType.fromDDL(p("key.ddl"))
+          val payloadSchema = org.apache.spark.sql.types.StructType.fromDDL(p("payload.ddl"))
+          val ybCells = props.get(s"$prefix.$name.yb.cells").forall(_.toBoolean)
+          val withBefore = props.get(s"$prefix.$name.with.before").exists(_.toBoolean)
+          (df: DataFrame) =>
+            Envelope.decodeJson(df, keySchema, payloadSchema, ybCells, withBefore)
         case other =>
           throw new IllegalArgumentException(s"unknown transform type '$other' for '$name'")
       }

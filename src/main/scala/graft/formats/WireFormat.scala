@@ -242,22 +242,33 @@ class WireSink(spark: SparkSession, root: String, format: String,
     * selected converters (reference F2, `cdcsdk.server.format.{key,value}` —
     * ServerApp.java:152-153; converter split
     * ConvertingEngineBuilder.java:148-234). The epoch lands as parquet of
-    * two wire columns (string or binary per format). */
+    * two wire columns (string or binary per format).
+    *
+    * `ordered` = per-key ordered delivery (reference PubSub/Kinesis ordering
+    * key == record key, PubSubChangeConsumer.java:113-155): hash-partition
+    * on the serialized key, sort each partition by (key, lsn), so every
+    * key's records land in ONE file in LSN order — the partition-by-key +
+    * in-partition-sort a Kafka-partitioned sink gives for free. Requires an
+    * `lsn` column on `events`. */
   def writeEpochKV(events: DataFrame, epochId: Long, keyCols: Seq[String],
-                   payloadCols: Seq[String], schemaId: Int = 0): Long = {
+                   payloadCols: Seq[String], schemaId: Int = 0,
+                   ordered: Boolean = false): Long = {
     val obs = org.apache.spark.sql.Observation(s"wire-kv-epoch-$epochId")
-    // only a CloudEvents converter needs the lsn threaded through (its id
-    // attribute) — don't impose the column on every input otherwise
-    val id = if (format == WireFormat.CloudEvents || keyFormat == WireFormat.CloudEvents)
-      Seq("lsn") else Seq.empty
+    // only CloudEvents (id attribute) and ordered mode need the lsn threaded
+    // through — don't impose the column on every input otherwise
+    val id = if (ordered || format == WireFormat.CloudEvents
+        || keyFormat == WireFormat.CloudEvents) Seq("lsn") else Seq.empty
     val withValue = WireFormat.encode(events, format, payloadCols, schemaId,
-        keep = keyCols ++ id, schemasEnable = schemasEnable)
+        keep = (keyCols ++ id).distinct, schemasEnable = schemasEnable)
       .withColumnRenamed("wire", "value")
     // schemas.enable applies to BOTH converters (reference maps the knob to
     // key.converter AND value.converter, ServerApp.java configToProperties)
-    val kv = WireFormat.encode(withValue, keyFormat, keyCols, schemaId,
-        keep = Seq("value") ++ id, idCol = "lsn", schemasEnable = schemasEnable)
+    val kv0 = WireFormat.encode(withValue, keyFormat, keyCols, schemaId,
+        keep = (Seq("value") ++ id).distinct, idCol = "lsn",
+        schemasEnable = schemasEnable)
       .withColumnRenamed("wire", "key")
+    val kv = (if (!ordered) kv0
+      else kv0.repartition(col("key")).sortWithinPartitions(col("key"), col("lsn")))
       .select("key", "value")
       .observe(obs, count(lit(1)).as("rows"))
     sized(kv.write.mode("overwrite")).parquet(epochDir(epochId))

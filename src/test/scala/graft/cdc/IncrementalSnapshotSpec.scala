@@ -60,6 +60,31 @@ class IncrementalSnapshotSpec extends SparkTestBase {
     assert(snapEpochs == Set(1_000_000L, 1_000_001L, 2_000_000L, 2_000_001L), s"$snapEpochs")
   }
 
+  test("queued signal survives a crash: restart completes it WITHOUT re-issue") {
+    val root = tmpDir("incsnap4")
+    val table = new SnapshotTable(spark, root, 4)
+    val engine = new CdcEngine(spark, table, EngineConfig(numBuckets = 4))
+    // stream never captured the selection; signal accepted, then "crash"
+    // before any epoch runs (the engine object is simply abandoned)
+    engine.applyEpoch(EventGen.events(spark, 0, 4000, gen).filter(!selection), 0L)
+    engine.signalSnapshot(1_000_000L, selection, numChunks = 2)
+
+    // restart: the durable signal row under <root>/signals/ reloads — no
+    // re-issue (reference signal-table semantics: a written signal row is
+    // the request of record until executed)
+    val engine2 = new CdcEngine(spark, table, EngineConfig(numBuckets = 4))
+    assert(engine2.snapshotInProgress, "restart must reload the pending signal")
+    engine2.replayGenerated(4000, 8000, 1, gen)
+    assert(!engine2.snapshotInProgress)
+    val want = digests(EventGen.finalState(spark, 0, 8000, gen))
+    val got = digests(table.read())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // executed signal is retired: a THIRD engine sees nothing pending
+    val engine3 = new CdcEngine(spark, table, EngineConfig(numBuckets = 4))
+    assert(!engine3.snapshotInProgress, "completed signal must not re-queue")
+  }
+
   test("re-issued signal + re-run fence to no-ops (resume semantics)") {
     val root = tmpDir("incsnap2")
     val table = new SnapshotTable(spark, root, 4)

@@ -63,6 +63,32 @@ class ServerConfigSpec extends SparkTestBase {
     assert(got.count() > 0)
   }
 
+  test("config-selected unwrap equals the code-wired Envelope.decodeJson") {
+    import org.apache.spark.sql.types._
+    // real wire records through the production wrap path
+    val gen = GenConfig(numKeys = 50, hotKeys = 2)
+    val base = EventGen.events(spark, 0, 500, gen)
+    val wire = Envelope.wrapJson(base, keyCols = Seq("repo", "path"),
+      payloadCols = Seq("commit", "lang"), ybCells = true)
+    val chain = ServerConfig.transformChain(Map(
+      "graft.transforms" -> "flatten",
+      "graft.transforms.flatten.type" -> "unwrap",
+      "graft.transforms.flatten.key.ddl" -> "repo STRING, path STRING",
+      "graft.transforms.flatten.payload.ddl" -> "commit STRING, lang STRING"))
+    val got = chain(wire)
+    val want = Envelope.decodeJson(wire,
+      StructType.fromDDL("repo STRING, path STRING"),
+      StructType.fromDDL("commit STRING, lang STRING"), ybCells = true)
+    assert(got.schema == want.schema)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    assert(got.count() == 500)
+    // bad DDL fails at chain-build time
+    intercept[Exception](ServerConfig.transformChain(Map(
+      "graft.transforms" -> "f", "graft.transforms.f.type" -> "unwrap",
+      "graft.transforms.f.key.ddl" -> "not a ddl ((",
+      "graft.transforms.f.payload.ddl" -> "x INT")))
+  }
+
   test("misconfigured chain fails loudly at build time, not mid-stream") {
     intercept[IllegalArgumentException](ServerConfig.transformChain(Map(
       "graft.transforms" -> "x", "graft.transforms.x.type" -> "nope")))

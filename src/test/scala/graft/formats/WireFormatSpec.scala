@@ -220,6 +220,45 @@ class WireFormatSpec extends SparkTestBase {
     assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
   }
 
+  test("ordered KV epoch: per-key LSN-monotone delivery (PubSub ordering-key parity)") {
+    val root = tmpDir("wirekv-ord")
+    val engine = new graft.cdc.CdcEngine(spark,
+      new graft.cdc.SnapshotTable(spark, tmpDir("wirekv-ord-t"), 2),
+      graft.cdc.EngineConfig(numBuckets = 2,
+        format = WireFormat.Json, keyFormat = WireFormat.Json))
+    val sink = engine.wireSink(root)
+    val ev = events
+    val n = sink.writeEpochKV(ev, 0L, Seq("repo", "path"),
+      Seq("op", "commit", "lsn"), ordered = true)
+    assert(n == 3000L)
+    val files = new java.io.File(sink.epochDir(0L)).listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(files.nonEmpty)
+    // every key lives in exactly one file, and within that file its records
+    // are LSN-monotone in ROW order (= delivery order for a sequential
+    // consumer of the object — the ordering-key guarantee)
+    val keyToFiles = scala.collection.mutable.Map.empty[String, Set[String]]
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select(col("key"),
+          get_json_object(col("value"), "$.lsn").cast("long").as("lsn"))
+        .coalesce(1).collect()
+      rows.groupBy(_.getString(0)).foreach { case (k, rs) =>
+        keyToFiles(k) = keyToFiles.getOrElse(k, Set.empty) + f.getName
+        val lsns = rs.map(_.getLong(1)).toSeq
+        assert(lsns == lsns.sorted, s"key $k out of LSN order in ${f.getName}")
+      }
+    }
+    assert(keyToFiles.values.forall(_.size == 1),
+      "a key's records must not straddle files (single ordered stream per key)")
+    // round trip still the identity in ordered mode
+    val keyT = StructType(Seq("repo", "path").map(ev.schema(_)))
+    val valT = StructType(Seq("op", "commit", "lsn").map(ev.schema(_)))
+    val back = sink.readEpochKV(0L, Map(0 -> keyT), Map(0 -> valT), 0)
+    val want = ev.select("repo", "path", "op", "commit", "lsn")
+    assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty)
+  }
+
   test("connect schema JSON escapes hostile names and round-trips nested types") {
     val nested = StructType(Seq(
       StructField("""a"b\c""", StringType, nullable = true),

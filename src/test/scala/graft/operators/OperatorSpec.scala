@@ -11,13 +11,15 @@ class OperatorSpec extends SparkTestBase {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("every registered query runs and is deterministic across two runs") {
+  test("every registered query runs and is VALUE-deterministic across two runs") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val a = fn(spark, dir)
       val b = fn(spark, dir)
       assert(a.schema == b.schema, s"$name schema unstable")
-      val ca = a.count(); val cb = b.count()
-      assert(ca == cb, s"$name row count unstable: $ca vs $cb")
+      // value-level determinism, both directions (count+schema alone would
+      // miss a nondeterministic value that keeps the cardinality)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$name values unstable across two runs")
     }
   }
 
