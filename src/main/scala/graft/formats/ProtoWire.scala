@@ -9,15 +9,18 @@ import java.io.ByteArrayOutputStream
 import java.nio.charset.StandardCharsets
 
 /**
- * Protobuf wire format for the flattened payload — the reference's third
- * converter family (ServerApp.java:152-161 / ConvertingEngineBuilder.java:198-234
+ * Protobuf wire format for the payload — the reference's third converter
+ * family (ServerApp.java:152-161 / ConvertingEngineBuilder.java:198-234
  * select a protobuf converter class). No protobuf runtime jar exists in this
  * environment, so the (public, documented) proto3 wire encoding is
  * implemented directly: `tag = (fieldNumber << 3) | wireType`, varints,
  * zigzag sint64/sint32 for integers, fixed64 for doubles, length-delimited
- * UTF-8 for strings/bytes; null/default fields are omitted (proto3
- * presence semantics). Field numbers are StructType positions + 1; the
- * registry header matches the Avro framing (magic 0x01 + 4-byte schema id).
+ * UTF-8 for strings/bytes, length-delimited embedded messages for nested
+ * structs, unpacked repeated fields for arrays; null fields are omitted
+ * (proto3 presence semantics — an empty/all-null array is therefore
+ * indistinguishable from an absent one and normalizes to NULL on decode).
+ * Field numbers are StructType positions + 1; the registry header matches
+ * the Avro framing (magic 0x01 + 4-byte schema id).
  */
 object ProtoWire {
 
@@ -36,7 +39,124 @@ object ProtoWire {
     case LongType | IntegerType | BooleanType => 0 // varint (zigzag ints)
     case DoubleType                           => 1 // fixed64
     case StringType | BinaryType              => 2 // length-delimited
+    case _: StructType                        => 2 // embedded message
+    case ArrayType(et, _)                     => wireType(et) // unpacked repeated
     case other => throw new IllegalArgumentException(s"unsupported proto field type $other")
+  }
+
+  /** Recursive field writer. Nested structs are length-delimited embedded
+    * messages; arrays are unpacked repeated fields (one tagged occurrence
+    * per element — wire-compatible with any proto3 parser). Null fields and
+    * null array ELEMENTS are omitted, so proto3 presence semantics apply at
+    * every level: an empty or all-null array is indistinguishable from an
+    * absent one and reads back as NULL (documented normalization, same as
+    * the flat codec's null handling). */
+  private def writeField(out: ByteArrayOutputStream, fieldNum: Int,
+                         dt: DataType, v: Any): Unit = dt match {
+    case ArrayType(et, _) =>
+      v.asInstanceOf[scala.collection.Seq[Any]]
+        .foreach(e => if (e != null) writeField(out, fieldNum, et, e))
+    case _ =>
+      writeVarint(out, (fieldNum.toLong << 3) | wireType(dt))
+      dt match {
+        case LongType    => writeVarint(out, zigzag(v.asInstanceOf[Long]))
+        case IntegerType => writeVarint(out, zigzag(v.asInstanceOf[Int].toLong))
+        case BooleanType => writeVarint(out, if (v.asInstanceOf[Boolean]) 1L else 0L)
+        case DoubleType =>
+          var bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
+          (0 until 8).foreach { _ => out.write((bits & 0xff).toInt); bits >>>= 8 }
+        case StringType =>
+          val b = v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
+          writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+        case BinaryType =>
+          val b = v.asInstanceOf[Array[Byte]]
+          writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
+        case st: StructType =>
+          val nested = new ByteArrayOutputStream(64)
+          writeMessage(nested, v.asInstanceOf[Row], st)
+          writeVarint(out, nested.size.toLong); nested.writeTo(out)
+        case other => throw new IllegalArgumentException(s"unsupported proto field type $other")
+      }
+  }
+
+  private def writeMessage(out: ByteArrayOutputStream, row: Row, st: StructType): Unit = {
+    var i = 0
+    while (i < st.fields.length) {
+      if (!row.isNullAt(i)) writeField(out, i + 1, st.fields(i).dataType, row.get(i))
+      i += 1
+    }
+  }
+
+  /** Recursive message parser over wire[from, to); field values follow the
+    * written schema `st`. Unknown field numbers are skipped by wire type
+    * (forward compatibility). */
+  private def parseMessage(wire: Array[Byte], from: Int, to: Int, st: StructType): Row = {
+    var pos = from
+    def readVarint(): Long = {
+      var shift = 0; var acc = 0L; var b = 0
+      do {
+        b = wire(pos) & 0xff; pos += 1
+        acc |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      acc
+    }
+    val acc = new Array[Any](st.fields.length)
+    def put(idx: Int, v: Any): Unit = st.fields(idx).dataType match {
+      case _: ArrayType =>
+        val buf = acc(idx) match {
+          case null => val b = new scala.collection.mutable.ArrayBuffer[Any]; acc(idx) = b; b
+          case b: scala.collection.mutable.ArrayBuffer[Any @unchecked] => b
+        }
+        buf += v
+      case _ => acc(idx) = v
+    }
+    def elemType(idx: Int): DataType = st.fields(idx).dataType match {
+      case ArrayType(et, _) => et
+      case t => t
+    }
+    while (pos < to) {
+      val tag = readVarint()
+      val idx = (tag >>> 3).toInt - 1
+      val wt = (tag & 7).toInt
+      val known = idx >= 0 && idx < st.fields.length
+      wt match {
+        case 0 =>
+          val v = readVarint()
+          if (known) elemType(idx) match {
+            case LongType    => put(idx, unzigzag(v))
+            case IntegerType => put(idx, unzigzag(v).toInt)
+            case BooleanType => put(idx, v != 0L)
+            case _           => put(idx, unzigzag(v))
+          }
+        case 1 =>
+          var bits = 0L
+          (0 until 8).foreach(i => { bits |= (wire(pos + i) & 0xffL) << (8 * i) })
+          pos += 8
+          if (known) put(idx, java.lang.Double.longBitsToDouble(bits))
+        case 2 =>
+          val len = readVarint().toInt
+          val start = pos
+          pos += len
+          if (known) elemType(idx) match {
+            case StringType =>
+              put(idx, new String(wire, start, len, StandardCharsets.UTF_8))
+            case nested: StructType =>
+              put(idx, parseMessage(wire, start, start + len, nested))
+            case _ =>
+              put(idx, java.util.Arrays.copyOfRange(wire, start, start + len))
+          }
+        case other => throw new IllegalStateException(s"unsupported wire type $other")
+      }
+    }
+    var i = 0
+    while (i < acc.length) {
+      acc(i) = acc(i) match {
+        case b: scala.collection.mutable.ArrayBuffer[Any @unchecked] => b.toSeq
+        case v => v
+      }
+      i += 1
+    }
+    Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(acc))
   }
 
   private def header(schemaId: Int): Array[Byte] =
@@ -62,28 +182,7 @@ object ProtoWire {
           val p = row.getStruct(row.length - 1)
           out.reset()
           out.write(hdr, 0, hdr.length)
-          payloadType.fields.zipWithIndex.foreach { case (f, i) =>
-            if (!p.isNullAt(i)) {
-              val fieldNum = i + 1
-              val wt = wireType(f.dataType)
-              writeVarint(out, (fieldNum.toLong << 3) | wt)
-              f.dataType match {
-                case LongType    => writeVarint(out, zigzag(p.getLong(i)))
-                case IntegerType => writeVarint(out, zigzag(p.getInt(i).toLong))
-                case BooleanType => writeVarint(out, if (p.getBoolean(i)) 1L else 0L)
-                case DoubleType =>
-                  var bits = java.lang.Double.doubleToLongBits(p.getDouble(i))
-                  (0 until 8).foreach { _ => out.write((bits & 0xff).toInt); bits >>>= 8 }
-                case StringType =>
-                  val b = p.getString(i).getBytes(StandardCharsets.UTF_8)
-                  writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
-                case BinaryType =>
-                  val b = p.getAs[Array[Byte]](i)
-                  writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
-                case _ => ()
-              }
-            }
-          }
+          writeMessage(out, p, payloadType)
           Row.fromSeq(row.toSeq.dropRight(1) :+ out.toByteArray)
         }
       }(Encoders.row(outSchema))
@@ -101,47 +200,13 @@ object ProtoWire {
         rows.map { row =>
           val wire = row.getAs[Array[Byte]](row.length - 1)
           val written = registry(headerSchemaId(wire))
-          var pos = 5
-          def readVarint(): Long = {
-            var shift = 0; var acc = 0L; var b = 0
-            do {
-              b = wire(pos) & 0xff; pos += 1
-              acc |= (b & 0x7fL) << shift; shift += 7
-            } while ((b & 0x80) != 0)
-            acc
-          }
-          val byName = scala.collection.mutable.Map.empty[String, Any]
-          while (pos < wire.length) {
-            val tag = readVarint()
-            val fieldIdx = (tag >>> 3).toInt - 1
-            val wt = (tag & 7).toInt
-            val f = if (fieldIdx < written.fields.length) Some(written.fields(fieldIdx)) else None
-            wt match {
-              case 0 =>
-                val v = readVarint()
-                f.foreach(fd => byName(fd.name) = fd.dataType match {
-                  case LongType    => unzigzag(v)
-                  case IntegerType => unzigzag(v).toInt
-                  case BooleanType => v != 0L
-                  case _           => unzigzag(v)
-                })
-              case 1 =>
-                var bits = 0L
-                (0 until 8).foreach(i => { bits |= (wire(pos + i) & 0xffL) << (8 * i) })
-                pos += 8
-                f.foreach(fd => byName(fd.name) = java.lang.Double.longBitsToDouble(bits))
-              case 2 =>
-                val len = readVarint().toInt
-                val b = java.util.Arrays.copyOfRange(wire, pos, pos + len)
-                pos += len
-                f.foreach(fd => byName(fd.name) = fd.dataType match {
-                  case StringType => new String(b, StandardCharsets.UTF_8)
-                  case _          => b
-                })
-              case other => throw new IllegalStateException(s"unsupported wire type $other")
-            }
-          }
-          val vals = target.fields.map(f => byName.getOrElse(f.name, null))
+          val parsed = parseMessage(wire, 5, wire.length, written)
+          // top-level schema routing by FIELD NAME onto the target version
+          // (nested shapes follow the written schema — proto has no
+          // Avro-style nested resolution)
+          val byName = written.fieldNames.zipWithIndex.toMap
+          val vals = target.fields.map(f =>
+            byName.get(f.name).map(parsed.get).orNull)
           new GenericRowWithSchema((row.toSeq.dropRight(1) ++ vals).toArray, outSchema): Row
         }
       }(Encoders.row(outSchema))

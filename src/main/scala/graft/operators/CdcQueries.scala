@@ -336,6 +336,41 @@ object CdcQueries {
         .orderBy("lsn")
     }),
 
+    // F1 the same nested envelope through the PROTO converter (embedded
+    // messages, proto3 presence semantics — the reference's third converter
+    // family serializes the unflattened envelope identically,
+    // ConvertingEngineBuilder.java:198-234)
+    "cdc_envelope_proto" -> ((s, d) => {
+      val byKey = Window.partitionBy(col("user_id")).orderBy(col("lsn"))
+      val op = when(col("event_type") === "error", "d")
+        .when(col("event_type") === "click", "u").otherwise(lit("c"))
+      val base = ev(s, d).select(
+          col("event_id").as("lsn"), op.as("op"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
+        .withColumn("before_user_id", lag(col("user_id"), 1).over(byKey))
+        .withColumn("before_k", lag(col("k"), 1).over(byKey))
+      val withEnv = base.select(col("lsn").as("event_lsn"),
+        Envelope.envelopeStruct(base, keyCols = Seq("user_id"),
+          payloadCols = Seq("k"), ybCells = true, table = "events",
+          replicaIdentityFull = true).as("env"))
+      val envT = StructType(Seq(withEnv.schema("env")))
+      val wire = graft.formats.ProtoWire.encode(withEnv, Seq("env"), 8,
+        keep = Seq("event_lsn"))
+      val e = col("env")
+      def cell(img: org.apache.spark.sql.Column, f: String) =
+        when(img(f)("set") === true, img(f)("value"))
+      graft.formats.ProtoWire.decode(wire, Map(8 -> envT), 8, keep = Seq("event_lsn"))
+        .select(
+          col("event_lsn").as("lsn"),
+          e("op").as("op"),
+          cell(e("after"), "user_id").as("user_id"),
+          cell(e("after"), "k").as("k"),
+          cell(e("before"), "user_id").as("before_user_id"),
+          cell(e("before"), "k").as("before_k"))
+        .orderBy("lsn")
+    }),
+
     // F5 time-pattern path rendering ({YEAR}/{MONTH}/... object naming,
     // deterministic — no UUID, see SURVEY §7.3)
     "cdc_time_path" -> ((s, d) =>
@@ -493,6 +528,23 @@ object CdcQueries {
         |  CASE WHEN op IN ('u', 'd') THEN prev_k END AS before_k
         |FROM base ORDER BY lsn""".stripMargin,
     "cdc_envelope_avro" ->
+      """WITH base AS (
+        |  SELECT event_id AS lsn,
+        |    CASE WHEN event_type = 'error' THEN 'd'
+        |         WHEN event_type = 'click' THEN 'u' ELSE 'c' END AS op,
+        |    user_id,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |    lag(user_id) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_user_id,
+        |    lag(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |      OVER (PARTITION BY user_id ORDER BY event_id) AS prev_k
+        |  FROM events)
+        |SELECT lsn, op,
+        |  CASE WHEN op <> 'd' THEN user_id END AS user_id,
+        |  CASE WHEN op <> 'd' THEN k END AS k,
+        |  CASE WHEN op IN ('u', 'd') THEN prev_user_id END AS before_user_id,
+        |  CASE WHEN op IN ('u', 'd') THEN prev_k END AS before_k
+        |FROM base ORDER BY lsn""".stripMargin,
+    "cdc_envelope_proto" ->
       """WITH base AS (
         |  SELECT event_id AS lsn,
         |    CASE WHEN event_type = 'error' THEN 'd'

@@ -117,6 +117,44 @@ class WireFormatSpec extends SparkTestBase {
       "nested avro round trip must be the identity")
   }
 
+  test("proto nested messages and repeated fields round trip") {
+    val cell = StructType(Seq(
+      StructField("value", IntegerType, nullable = true),
+      StructField("set", BooleanType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("env", StructType(Seq(
+        StructField("after", cell, nullable = true),
+        StructField("tags", ArrayType(StringType, containsNull = true), nullable = true),
+        StructField("nums", ArrayType(LongType, containsNull = false), nullable = true),
+        StructField("cells", ArrayType(cell, containsNull = true), nullable = true)
+      )), nullable = true)))
+    val rows = Seq(
+      org.apache.spark.sql.Row(1L, org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(3, true),
+        Seq("a", "c"), Seq(1L, -2L),
+        Seq(org.apache.spark.sql.Row(5, false), org.apache.spark.sql.Row(null, true)))),
+      org.apache.spark.sql.Row(2L, org.apache.spark.sql.Row(
+        org.apache.spark.sql.Row(null, false), null, null, null)),
+      org.apache.spark.sql.Row(3L, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    val pt = StructType(Seq(schema("env")))
+    val back = ProtoWire.decode(
+      ProtoWire.encode(df, Seq("env"), 0, keep = Seq("id")),
+      Map(0 -> pt), 0, keep = Seq("id"))
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty,
+      "nested proto round trip must be the identity")
+    // documented proto3 normalization: an EMPTY array is absent on the wire
+    // and reads back as NULL
+    val empty = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      org.apache.spark.sql.Row(9L, org.apache.spark.sql.Row(
+        null, Seq.empty[String], null, null))), 1), schema)
+    val backEmpty = ProtoWire.decode(
+      ProtoWire.encode(empty, Seq("env"), 0, keep = Seq("id")),
+      Map(0 -> pt), 0, keep = Seq("id")).select("env.tags").head()
+    assert(backEmpty.isNullAt(0), "empty repeated field must normalize to NULL")
+  }
+
   test("independent key/value converters: avro key + json value (F2 split)") {
     val ev = events
     val keyCols = Seq("repo", "path")
