@@ -67,6 +67,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.split("Exchange").length <= 3, s"unexpected extra shuffle:\n$p")
   }
 
+  test("nested-envelope avro/proto round trips shuffle only for lag window + sort") {
+    // serialization is per-partition mapPartitions work; the only exchanges
+    // allowed are the per-key lag window's hash exchange and the final
+    // orderBy's range exchange — an extra shuffle here would dominate the
+    // wire path at 10^10 events
+    Seq("cdc_envelope_avro", "cdc_envelope_proto").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), s"UDF in $q:\n$p")
+      assert(p.split("Exchange").length <= 3, s"$q has an unexpected extra shuffle:\n$p")
+    }
+  }
+
   test("LSH projections are codegen'd dot_q, not interpreted aggregate(zip_with) pairs") {
     val p = plan("emb_lsh_ann")
     assert(p.contains("dot_q"), s"expected dot_q projections:\n$p")
