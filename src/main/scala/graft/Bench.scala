@@ -97,6 +97,37 @@ object Bench {
     count.get() / ((System.nanoTime() - t0) / 1e9)
   }
 
+  /** Memory-BANDWIDTH probe (r4 post-mortem): 24 qualified pairs showed the
+    * CPU probe rock-steady (~80k digests/s at 4 threads) while the 4-core
+    * replay swung 304k-578k ev/s — the contention mode on this host is
+    * bandwidth/steal, invisible to a cache-resident hash loop. Four threads
+    * stream-XOR over private 128 MiB buffers (far past LLC); returns
+    * aggregate bytes/sec. Qualification requires BOTH probes near their
+    * session bests. */
+  private lazy val bwBufs: Array[Array[Long]] =
+    Array.fill(4)(new Array[Long](16 << 20)) // 4 x 128 MiB
+  private def memProbe(probeMs: Long = 1200): Double = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val count = new java.util.concurrent.atomic.AtomicLong(0)
+    val sink = new java.util.concurrent.atomic.AtomicLong(0) // defeats DCE
+    val ts = bwBufs.map { buf =>
+      val t = new Thread(() => {
+        var acc = 0L; var passes = 0L
+        while (!stop.get()) {
+          var j = 0
+          while (j < buf.length) { acc ^= buf(j); j += 1 }
+          passes += 1
+        }
+        sink.addAndGet(acc)
+        count.addAndGet(passes * buf.length.toLong * 8L)
+      })
+      t.setDaemon(true); t
+    }
+    val t0 = System.nanoTime()
+    ts.foreach(_.start()); Thread.sleep(probeMs); stop.set(true); ts.foreach(_.join())
+    count.get() / ((System.nanoTime() - t0) / 1e9)
+  }
+
   private val jdk17AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
     "java.base/java.io", "java.base/java.net", "java.base/java.nio",
@@ -164,9 +195,10 @@ object Bench {
     // pair cap. All rates, the stopping reason, and the pair count are
     // emitted in the JSON; best-of over more reps is still best-of.
     // Protocol v4 (r3 verdict task #1): WINDOW QUALIFICATION. Before each
-    // pair, a ~1.5 s fixed-work CPU probe at 1 and 4 threads is compared to
-    // the session's best probe readings. A pair launched in a throttled
-    // window (probe < QUAL_FRAC of best) is still measured and still feeds
+    // pair, a ~1.5 s fixed-work CPU probe at 1 and 4 threads AND a ~1.2 s
+    // 4-thread memory-bandwidth probe are compared to the session's best
+    // readings. A pair launched in a throttled
+    // window (any probe < QUAL_FRAC of best) is still measured and still feeds
     // best-of, but does NOT consume the qualified-pair cap — the cap budget
     // is reserved for windows where a representative reading is possible.
     // When throttle is detected the loop first WAITS (short sleeps, bounded)
@@ -185,13 +217,14 @@ object Bench {
       val maxWaits = sys.env.getOrElse("SPARK_GRAFT_CDC_MAX_WAITS", "10").toInt
       val ratesN = new scala.collection.mutable.ArrayBuffer[Double]
       val rates4N = new scala.collection.mutable.ArrayBuffer[Double]
-      val probes = new scala.collection.mutable.ArrayBuffer[(Double, Double, Boolean)]
+      val probes = new scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Boolean)]
       val t0 = System.nanoTime()
       def elapsedSec = (System.nanoTime() - t0) / 1e9
-      // calibrate the probe baseline (2 readings per arity; best kept)
-      var best1 = 0.0; var best4 = 0.0
+      // calibrate the probe baselines (2 readings per probe; best kept)
+      var best1 = 0.0; var best4 = 0.0; var bestBw = 0.0
       (1 to 2).foreach { _ =>
         best1 = math.max(best1, cpuProbe(1)); best4 = math.max(best4, cpuProbe(4))
+        bestBw = math.max(bestBw, memProbe())
       }
       var staleRounds = 0 // consecutive pairs with no new best at EITHER level
       var stopReason: String = null
@@ -200,10 +233,12 @@ object Bench {
       var waits = 0       // total throttle waits
       var waitStreak = 0  // consecutive waits since the last measured pair
       while (stopReason == null) {
-        val p1 = cpuProbe(1); val p4 = cpuProbe(4)
+        val p1 = cpuProbe(1); val p4 = cpuProbe(4); val bw = memProbe()
         best1 = math.max(best1, p1); best4 = math.max(best4, p4)
-        val quiet = p1 >= qualFrac * best1 && p4 >= qualFrac * best4
-        probes += ((p1, p4, quiet))
+        bestBw = math.max(bestBw, bw)
+        val quiet = p1 >= qualFrac * best1 && p4 >= qualFrac * best4 &&
+          bw >= qualFrac * bestBw
+        probes += ((p1, p4, bw, quiet))
         if (!quiet && waitStreak < maxWaits && elapsedSec < budgetSec) {
           waits += 1; waitStreak += 1; Thread.sleep(waitSec * 1000)
         } else {
@@ -244,13 +279,13 @@ object Bench {
       val fullCow = fullReadings("cow")
       val fullMor = fullReadings("mor")
       def arr(xs: Seq[Double]) = xs.map(x => f"$x%.0f").mkString("[", ",", "]")
-      val probeJson = probes.map { case (p1, p4, q) =>
-        f"""[${p1}%.0f,${p4}%.0f,${if (q) 1 else 0}]""" }.mkString("[", ",", "]")
+      val probeJson = probes.map { case (p1, p4, bw, q) =>
+        f"""[${p1}%.0f,${p4}%.0f,${bw}%.0f,${if (q) 1 else 0}]""" }.mkString("[", ",", "]")
       f"""{"events":$cdcEvents,"reps":$measured,"qualified_reps":$qualified,""" +
         f""""throttle_waits":$waits,"stop_reason":"$stopReason","n_cores":$nCores,"4n_cores":${nCores * 4},""" +
         f""""events_per_sec_n":${rateN}%.0f,"events_per_sec_4n":${rate4N}%.0f,""" +
         f""""rates_n":${arr(ratesN.toSeq)},"rates_4n":${arr(rates4N.toSeq)},""" +
-        f""""probe_best":[${best1}%.0f,${best4}%.0f],"probes":$probeJson,""" +
+        f""""probe_best":[${best1}%.0f,${best4}%.0f,${bestBw}%.0f],"probes":$probeJson,""" +
         f""""scaling_efficiency":${eff}%.3f,"events_per_sec_32core":${fullCow.max}%.0f,""" +
         f""""events_per_sec_32core_mor":${fullMor.max}%.0f,""" +
         f""""full_rates_cow":${arr(fullCow)},"full_rates_mor":${arr(fullMor)}}"""
