@@ -213,6 +213,11 @@ object Bench {
       val budgetSec = sys.env.getOrElse("SPARK_GRAFT_CDC_BUDGET_SEC", "7200").toLong
       val effTarget = sys.env.getOrElse("SPARK_GRAFT_CDC_EFF_TARGET", "0.8").toDouble
       val qualFrac = sys.env.getOrElse("SPARK_GRAFT_CDC_QUAL_FRAC", "0.9").toDouble
+      // the bandwidth probe's natural run-to-run noise is ~±8% (measured
+      // over 72 probes, r4 run 2: quiet-plateau readings 25.1-29.4 GB/s), so
+      // its threshold is looser — at 0.9 it misread the plateau as throttle
+      // and spent 23 min of budget waiting (47 waits)
+      val qualFracBw = sys.env.getOrElse("SPARK_GRAFT_CDC_QUAL_FRAC_BW", "0.85").toDouble
       val waitSec = sys.env.getOrElse("SPARK_GRAFT_CDC_WAIT_SEC", "30").toLong
       val maxWaits = sys.env.getOrElse("SPARK_GRAFT_CDC_MAX_WAITS", "10").toInt
       val ratesN = new scala.collection.mutable.ArrayBuffer[Double]
@@ -237,7 +242,7 @@ object Bench {
         best1 = math.max(best1, p1); best4 = math.max(best4, p4)
         bestBw = math.max(bestBw, bw)
         val quiet = p1 >= qualFrac * best1 && p4 >= qualFrac * best4 &&
-          bw >= qualFrac * bestBw
+          bw >= qualFracBw * bestBw
         probes += ((p1, p4, bw, quiet))
         if (!quiet && waitStreak < maxWaits && elapsedSec < budgetSec) {
           waits += 1; waitStreak += 1; Thread.sleep(waitSec * 1000)

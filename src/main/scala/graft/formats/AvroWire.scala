@@ -22,8 +22,10 @@ import java.io.ByteArrayOutputStream
  *
  * No spark-avro connector exists in this environment (only core
  * avro-1.12.1.jar), so the row<->bytes bridge is a per-partition
- * mapPartitions with writer/encoder reuse — serialization is inherently
- * per-record work, and the surrounding plan stays columnar/codegen'd.
+ * mapPartitions over a direct binary codec (writeDatum/readDatum below,
+ * with the library reader as the cross-version resolution path) —
+ * serialization is inherently per-record work, and the surrounding plan
+ * stays columnar/codegen'd.
  * Schemas ride OUTSIDE the records (in the registry), which is the entire
  * point of the format: the per-record overhead is 5 header bytes, not an
  * embedded schema.
@@ -241,8 +243,6 @@ object AvroWire {
   def encode(df: DataFrame, payloadCols: Seq[String], schemaId: Int,
              keep: Seq[String] = Seq.empty): DataFrame = {
     val payloadType = StructType(payloadCols.map(c => df.schema(c)).toArray)
-    val inSchema = StructType(keep.map(c => df.schema(c)) :+
-      StructField("_payload", payloadType, nullable = false))
     val outSchema = StructType(keep.map(c => df.schema(c)) :+
       StructField("wire", BinaryType, nullable = false))
     val hdr = header(schemaId)
