@@ -189,7 +189,11 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
     signalsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   // restore still-pending signals from a previous (possibly crashed) run —
-  // the signal-table semantics: issued once, survives restarts until done
+  // the signal-table semantics: issued once, survives restarts until done.
+  // TOLERANT: a malformed file (e.g. truncated by a crash mid-write, which
+  // the tmp+rename protocol below makes near-impossible but a foreign writer
+  // could still produce) is QUARANTINED with a warning, never a constructor
+  // throw — a bad signal row must not permanently block engine restart.
   locally {
     val fs = signalsFs
     if (fs.exists(signalsDir)) {
@@ -198,29 +202,54 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
         .filter(_.getName.matches("signal-\\d+\\.json"))
         .sortBy(_.getName.stripPrefix("signal-").stripSuffix(".json").toLong)
         .foreach { p =>
-          val in = fs.open(p)
-          val node = try mapper.readTree(in) finally in.close()
-          // field-presence validation (jackson does NOT apply scala
-          // defaults for missing fields — a hole would read as 0)
-          require(node.hasNonNull("baseEpoch") && node.hasNonNull("selectionSql")
-            && node.hasNonNull("numChunks"), s"malformed signal file $p")
-          pendingSignals.enqueue(SnapshotRequest(node.get("baseEpoch").asLong(),
-            expr(node.get("selectionSql").asText()), node.get("numChunks").asInt()))
+          scala.util.Try {
+            val in = fs.open(p)
+            val node = try mapper.readTree(in) finally in.close()
+            // field-presence validation (jackson does NOT apply scala
+            // defaults for missing fields — a hole would read as 0)
+            require(node.hasNonNull("baseEpoch") && node.hasNonNull("selectionSql")
+              && node.hasNonNull("numChunks"), s"malformed signal file $p")
+            val sql = node.get("selectionSql").asText()
+            // eager parse (Spark 4 expr() is lazy): an unparseable stored
+            // predicate must quarantine here, not explode mid-replay
+            spark.sessionState.sqlParser.parseExpression(sql)
+            SnapshotRequest(node.get("baseEpoch").asLong(), expr(sql),
+              node.get("numChunks").asInt())
+          } match {
+            case scala.util.Success(req) => pendingSignals.enqueue(req)
+            case scala.util.Failure(e) =>
+              val q = new Path(p.getParent, p.getName + ".quarantined")
+              fs.rename(p, q)
+              System.err.println(
+                s"[cdc] WARN: unreadable signal file $p quarantined as $q: $e")
+          }
         }
     }
   }
 
-  /** The `execute-snapshot {data-collections: [...]}` signal: request an
-    * ad-hoc chunked re-snapshot of the keys matching `selection`. The
-    * Column is rendered to its SQL for the durable signal row; use
-    * `signalSnapshotSql` for an already-textual predicate. */
+  /** Column-typed SUGAR over [[signalSnapshotSql]] (the primary, Spark-
+    * version-stable entry): renders the Column to SQL text for the durable
+    * signal row via a `private[sql]` bridge — convenient, but the bridge can
+    * break on a Spark minor bump, so programmatic callers that already hold
+    * predicate text should call `signalSnapshotSql` directly. */
   def signalSnapshot(baseEpoch: Long, selection: org.apache.spark.sql.Column,
                      numChunks: Int = 4): Unit =
     signalSnapshotSql(baseEpoch,
       org.apache.spark.sql.ColumnSqlBridge.sql(selection), numChunks)
 
+  /** Primary (version-stable) signal entry: the predicate as SQL text.
+    * Validation order matters for durability: the predicate must RE-PARSE
+    * before anything is persisted (a Column rendered by the sugar overload is
+    * not guaranteed SQL-round-trippable), so an unparseable predicate is
+    * rejected to the caller without ever leaving a poison signal file; the
+    * file then lands via tmp-write + atomic rename, so a crash mid-write
+    * leaves only an ignored `.tmp`, never a truncated `signal-*.json`. */
   def signalSnapshotSql(baseEpoch: Long, selectionSql: String,
                         numChunks: Int = 4): Unit = {
+    // validate BEFORE persisting — Spark 4's expr() is lazy (Column nodes
+    // parse at analysis time), so force the parse through the session parser
+    spark.sessionState.sqlParser.parseExpression(selectionSql)
+    val selection = expr(selectionSql)
     val esc = selectionSql.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -230,9 +259,13 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
       s"""{"baseEpoch":$baseEpoch,"selectionSql":"$esc","numChunks":$numChunks}"""
     // persist FIRST (accepted signal == durable signal), then enqueue
     val fs = signalsFs
-    val out = fs.create(signalPath(baseEpoch), true)
+    val dst = signalPath(baseEpoch)
+    val tmp = new Path(dst.getParent, dst.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
-    pendingSignals.enqueue(SnapshotRequest(baseEpoch, expr(selectionSql), numChunks))
+    if (fs.exists(dst)) fs.delete(dst, false) // re-issue of the same baseEpoch
+    require(fs.rename(tmp, dst), s"could not publish signal file $dst")
+    pendingSignals.enqueue(SnapshotRequest(baseEpoch, selection, numChunks))
   }
 
   def snapshotInProgress: Boolean = activeSnapshot.nonEmpty || pendingSignals.nonEmpty

@@ -85,6 +85,46 @@ class IncrementalSnapshotSpec extends SparkTestBase {
     assert(!engine3.snapshotInProgress, "completed signal must not re-queue")
   }
 
+  test("durable signals are crash-safe against themselves: bad predicate " +
+      "rejected BEFORE persisting; truncated file quarantined, not fatal") {
+    val root = tmpDir("incsnap5")
+    val table = new SnapshotTable(spark, root, 4)
+    val engine = new CdcEngine(spark, table, EngineConfig(numBuckets = 4))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sigDir = new org.apache.hadoop.fs.Path(s"$root/signals")
+
+    // an unparseable predicate must throw to the caller WITHOUT leaving a
+    // poison signal file (validation-before-persist)
+    intercept[Exception] {
+      engine.signalSnapshotSql(1_000_000L, "this is ((( not sql", 2)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sigDir, "signal-1000000.json")),
+      "rejected signal must not persist")
+    assert(!engine.snapshotInProgress)
+
+    // a foreign truncated signal file (simulated crash mid-write by a writer
+    // without the tmp+rename protocol) must not block engine construction
+    fs.mkdirs(sigDir)
+    val bad = new org.apache.hadoop.fs.Path(sigDir, "signal-2000000.json")
+    val out = fs.create(bad, true)
+    try out.write("""{"baseEpoch":2000000,"selec""".getBytes("UTF-8")) finally out.close()
+    // plus one GOOD signal issued through the API (lands via tmp+rename)
+    engine.signalSnapshotSql(3_000_000L, "pmod(xxhash64(repo), 3) = 0", 2)
+
+    val engine2 = new CdcEngine(spark, table, EngineConfig(numBuckets = 4))
+    assert(engine2.snapshotInProgress, "good signal must survive the bad neighbor")
+    assert(!fs.exists(bad), "bad file must be quarantined away")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(sigDir,
+      "signal-2000000.json.quarantined")), "quarantine keeps the evidence")
+    // the SQL-string primary entry drives the snapshot end-to-end
+    engine2.replayGenerated(0, 8000, 1, gen)
+    assert(!engine2.snapshotInProgress)
+    val want = digests(EventGen.finalState(spark, 0, 8000, gen))
+    val got = digests(table.read())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("re-issued signal + re-run fence to no-ops (resume semantics)") {
     val root = tmpDir("incsnap2")
     val table = new SnapshotTable(spark, root, 4)
