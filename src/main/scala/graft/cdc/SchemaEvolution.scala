@@ -31,6 +31,8 @@ object SchemaEvolution {
       if (numericRank(x) >= numericRank(y)) x else y
     case (x: StructType, y: StructType) => merge(x, y)
     case (ArrayType(x, n1), ArrayType(y, n2)) => ArrayType(widen(x, y), n1 || n2)
+    case (MapType(k1, v1, n1), MapType(k2, v2, n2)) if k1 == k2 =>
+      MapType(k1, widen(v1, v2), n1 || n2)
     case _ => StringType
   }
 

@@ -49,6 +49,24 @@ object AvroWire {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case StringType  => Schema.create(Schema.Type.STRING)
     case BinaryType  => Schema.create(Schema.Type.BYTES)
+    // temporal/decimal ride as Avro LOGICAL types (the standard registry
+    // shapes a Connect Avro converter emits for Timestamp/Date/Decimal
+    // schemas — reference ConvertingEngineBuilder.java:198-234 delegates to
+    // exactly those converters; perf schema carries timestamptz,
+    // /root/reference/perf/workloads/iot/schema.sql:4-17)
+    case TimestampType =>
+      org.apache.avro.LogicalTypes.timestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case TimestampNTZType =>
+      org.apache.avro.LogicalTypes.localTimestampMicros()
+        .addToSchema(Schema.create(Schema.Type.LONG))
+    case DateType =>
+      org.apache.avro.LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case d: DecimalType =>
+      org.apache.avro.LogicalTypes.decimal(d.precision, d.scale)
+        .addToSchema(Schema.create(Schema.Type.BYTES))
+    case MapType(StringType, vt, valueContainsNull) =>
+      Schema.createMap(fieldSchema(vt, valueContainsNull, s"${path}_value"))
     case st: StructType => avroSchema(st, path)
     case ArrayType(et, containsNull) =>
       Schema.createArray(fieldSchema(et, containsNull, s"${path}_item"))
@@ -112,6 +130,39 @@ object AvroWire {
       case BinaryType =>
         val b = v.asInstanceOf[Array[Byte]]
         writeVarLong(out, b.length.toLong); out.write(b, 0, b.length)
+      case TimestampType =>
+        writeVarLong(out, v match {
+          case t: java.sql.Timestamp =>
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+          case i: java.time.Instant =>
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+        })
+      case TimestampNTZType =>
+        writeVarLong(out, org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .localDateTimeToMicros(v.asInstanceOf[java.time.LocalDateTime]))
+      case DateType =>
+        writeVarLong(out, (v match {
+          case d: java.sql.Date =>
+            org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+          case d: java.time.LocalDate => d.toEpochDay.toInt
+        }).toLong)
+      case d: DecimalType =>
+        // Avro decimal logical type: unscaled two's-complement big-endian
+        // bytes at the SCHEMA's scale
+        val b = v.asInstanceOf[java.math.BigDecimal]
+          .setScale(d.scale).unscaledValue().toByteArray
+        writeVarLong(out, b.length.toLong); out.write(b, 0, b.length)
+      case MapType(StringType, vt, valueContainsNull) =>
+        val m = v.asInstanceOf[scala.collection.Map[String, Any]]
+        if (m.nonEmpty) {
+          writeVarLong(out, m.size.toLong)
+          m.foreach { case (k, mv) =>
+            val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            writeVarLong(out, kb.length.toLong); out.write(kb, 0, kb.length)
+            writeDatum(out, mv, vt, valueContainsNull)
+          }
+        }
+        out.write(0) // map block terminator
       case st: StructType =>
         val row = v.asInstanceOf[Row]
         var i = 0
@@ -176,6 +227,37 @@ object AvroWire {
         val len = readVarLong(wire, c).toInt
         val b = java.util.Arrays.copyOfRange(wire, c.pos, c.pos + len)
         c.pos += len; b
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaTimestamp(readVarLong(wire, c))
+      case TimestampNTZType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .microsToLocalDateTime(readVarLong(wire, c))
+      case DateType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .toJavaDate(readVarLong(wire, c).toInt)
+      case d: DecimalType =>
+        val len = readVarLong(wire, c).toInt
+        val unscaled = new java.math.BigInteger(
+          java.util.Arrays.copyOfRange(wire, c.pos, c.pos + len))
+        c.pos += len
+        new java.math.BigDecimal(unscaled, d.scale)
+      case MapType(StringType, vt, valueContainsNull) =>
+        val buf = Map.newBuilder[String, Any]
+        var count = readVarLong(wire, c)
+        while (count != 0L) {
+          if (count < 0L) { readVarLong(wire, c); count = -count } // block byte-size
+          var i = 0L
+          while (i < count) {
+            val klen = readVarLong(wire, c).toInt
+            val k = new String(wire, c.pos, klen, java.nio.charset.StandardCharsets.UTF_8)
+            c.pos += klen
+            buf += k -> readDatum(wire, c, vt, valueContainsNull)
+            i += 1
+          }
+          count = readVarLong(wire, c)
+        }
+        buf.result()
       case st: StructType =>
         val vals = new Array[Any](st.fields.length)
         var i = 0
@@ -203,6 +285,23 @@ object AvroWire {
   private def fromDatum(v: Any, dt: DataType): Any = v match {
     case null => null
     case u: Utf8 => u.toString
+    // logical types arrive from GenericDatumReader as their BASE types (no
+    // conversions are registered) — map them onto the Spark type
+    case l: java.lang.Long if dt == TimestampType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(l)
+    case l: java.lang.Long if dt == TimestampNTZType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToLocalDateTime(l)
+    case i: Integer if dt == DateType =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(i)
+    case bb: java.nio.ByteBuffer if dt.isInstanceOf[DecimalType] =>
+      val a = new Array[Byte](bb.remaining()); bb.get(a)
+      new java.math.BigDecimal(new java.math.BigInteger(a),
+        dt.asInstanceOf[DecimalType].scale)
+    case m: java.util.Map[_, _] =>
+      val vt = dt.asInstanceOf[MapType].valueType
+      val b = Map.newBuilder[String, Any]
+      m.forEach((k, mv) => b += k.toString -> fromDatum(mv, vt))
+      b.result()
     case bb: java.nio.ByteBuffer =>
       val a = new Array[Byte](bb.remaining()); bb.get(a); a
     case rec: GenericRecord =>

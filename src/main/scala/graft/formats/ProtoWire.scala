@@ -37,11 +37,33 @@ object ProtoWire {
 
   private def wireType(dt: DataType): Int = dt match {
     case LongType | IntegerType | BooleanType => 0 // varint (zigzag ints)
+    // temporal types ride as zigzag varints of their canonical integer form:
+    // micros-since-epoch for timestamps, days-since-epoch for dates (the
+    // reference's Connect converters carry Timestamp/Date logical schemas as
+    // int64/int32 the same way — ConvertingEngineBuilder.java:198-234)
+    case TimestampType | TimestampNTZType | DateType => 0
     case DoubleType                           => 1 // fixed64
     case StringType | BinaryType              => 2 // length-delimited
+    case _: DecimalType                       => 2 // unscaled big-endian bytes
     case _: StructType                        => 2 // embedded message
+    case MapType(StringType, _, _)            => 2 // repeated map-entry message
     case ArrayType(et, _)                     => wireType(et) // unpacked repeated
     case other => throw new IllegalArgumentException(s"unsupported proto field type $other")
+  }
+
+  private def timestampMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
+    case i: java.time.Instant =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
+    case l: java.time.LocalDateTime =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l)
+  }
+
+  private def dateDays(v: Any): Int = v match {
+    case d: java.sql.Date =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
+    case d: java.time.LocalDate => d.toEpochDay.toInt
   }
 
   /** Recursive field writer. Nested structs are length-delimited embedded
@@ -56,12 +78,33 @@ object ProtoWire {
     case ArrayType(et, _) =>
       v.asInstanceOf[scala.collection.Seq[Any]]
         .foreach(e => if (e != null) writeField(out, fieldNum, et, e))
+    case MapType(StringType, vt, _) =>
+      // standard proto3 map encoding: repeated embedded entry message with
+      // field 1 = key, field 2 = value; proto3 map values cannot be null,
+      // so null-valued entries are omitted (presence semantics, same
+      // normalization as absent scalar fields)
+      v.asInstanceOf[scala.collection.Map[String, Any]].foreach { case (k, mv) =>
+        if (mv != null) {
+          val entry = new ByteArrayOutputStream(64)
+          writeField(entry, 1, StringType, k)
+          writeField(entry, 2, vt, mv)
+          writeVarint(out, (fieldNum.toLong << 3) | 2L)
+          writeVarint(out, entry.size.toLong); entry.writeTo(out)
+        }
+      }
     case _ =>
       writeVarint(out, (fieldNum.toLong << 3) | wireType(dt))
       dt match {
         case LongType    => writeVarint(out, zigzag(v.asInstanceOf[Long]))
         case IntegerType => writeVarint(out, zigzag(v.asInstanceOf[Int].toLong))
         case BooleanType => writeVarint(out, if (v.asInstanceOf[Boolean]) 1L else 0L)
+        case TimestampType | TimestampNTZType =>
+          writeVarint(out, zigzag(timestampMicros(v)))
+        case DateType => writeVarint(out, zigzag(dateDays(v).toLong))
+        case d: DecimalType =>
+          val b = v.asInstanceOf[java.math.BigDecimal]
+            .setScale(d.scale).unscaledValue().toByteArray
+          writeVarint(out, b.length.toLong); out.write(b, 0, b.length)
         case DoubleType =>
           var bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
           (0 until 8).foreach { _ => out.write((bits & 0xff).toInt); bits >>>= 8 }
@@ -110,9 +153,37 @@ object ProtoWire {
         buf += v
       case _ => acc(idx) = v
     }
+    def putMapEntry(idx: Int, k: String, v: Any): Unit = {
+      val buf = acc(idx) match {
+        case null =>
+          val b = new scala.collection.mutable.LinkedHashMap[String, Any]; acc(idx) = b; b
+        case b: scala.collection.mutable.LinkedHashMap[String @unchecked, Any @unchecked] => b
+      }
+      buf += k -> v
+    }
     def elemType(idx: Int): DataType = st.fields(idx).dataType match {
       case ArrayType(et, _) => et
       case t => t
+    }
+    // one varint-family scalar per declared type (shared by the tagged and
+    // the packed paths so sint zigzag conventions agree between them)
+    def varintValue(dt: DataType, v: Long): Any = dt match {
+      case LongType    => unzigzag(v)
+      case IntegerType => unzigzag(v).toInt
+      case BooleanType => v != 0L
+      case TimestampType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(unzigzag(v))
+      case TimestampNTZType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToLocalDateTime(unzigzag(v))
+      case DateType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(unzigzag(v).toInt)
+      case _ => unzigzag(v)
+    }
+    def readFixed64(): Double = {
+      var bits = 0L
+      (0 until 8).foreach(i => { bits |= (wire(pos + i) & 0xffL) << (8 * i) })
+      pos += 8
+      java.lang.Double.longBitsToDouble(bits)
     }
     while (pos < to) {
       val tag = readVarint()
@@ -122,28 +193,44 @@ object ProtoWire {
       wt match {
         case 0 =>
           val v = readVarint()
-          if (known) elemType(idx) match {
-            case LongType    => put(idx, unzigzag(v))
-            case IntegerType => put(idx, unzigzag(v).toInt)
-            case BooleanType => put(idx, v != 0L)
-            case _           => put(idx, unzigzag(v))
-          }
+          if (known) put(idx, varintValue(elemType(idx), v))
         case 1 =>
-          var bits = 0L
-          (0 until 8).foreach(i => { bits |= (wire(pos + i) & 0xffL) << (8 * i) })
-          pos += 8
-          if (known) put(idx, java.lang.Double.longBitsToDouble(bits))
+          val d = readFixed64()
+          if (known) put(idx, d)
         case 2 =>
           val len = readVarint().toInt
           val start = pos
-          pos += len
-          if (known) elemType(idx) match {
-            case StringType =>
-              put(idx, new String(wire, start, len, StandardCharsets.UTF_8))
-            case nested: StructType =>
-              put(idx, parseMessage(wire, start, start + len, nested))
-            case _ =>
-              put(idx, java.util.Arrays.copyOfRange(wire, start, start + len))
+          val end = start + len
+          pos = end
+          if (known) st.fields(idx).dataType match {
+            case MapType(StringType, vt, _) =>
+              val entry = parseMessage(wire, start, end, StructType(Seq(
+                StructField("key", StringType), StructField("value", vt))))
+              putMapEntry(idx,
+                Option(entry.get(0)).map(_.toString).getOrElse(""), entry.get(1))
+            case ArrayType(et, _) if wireType(et) != 2 =>
+              // PACKED repeated scalars — the default encoding standard
+              // proto3 serializers emit for numeric repeated fields (wire
+              // type 2 wrapping a block of varints/fixed64); our writer
+              // emits unpacked (also valid), so this path is pure read-side
+              // interop with foreign records
+              pos = start
+              while (pos < end) {
+                if (wireType(et) == 0) put(idx, varintValue(et, readVarint()))
+                else put(idx, readFixed64())
+              }
+              pos = end
+            case _ => elemType(idx) match {
+              case StringType =>
+                put(idx, new String(wire, start, len, StandardCharsets.UTF_8))
+              case d: DecimalType =>
+                put(idx, new java.math.BigDecimal(new java.math.BigInteger(
+                  java.util.Arrays.copyOfRange(wire, start, end)), d.scale))
+              case nested: StructType =>
+                put(idx, parseMessage(wire, start, end, nested))
+              case _ =>
+                put(idx, java.util.Arrays.copyOfRange(wire, start, end))
+            }
           }
         case other => throw new IllegalStateException(s"unsupported wire type $other")
       }
@@ -152,6 +239,8 @@ object ProtoWire {
     while (i < acc.length) {
       acc(i) = acc(i) match {
         case b: scala.collection.mutable.ArrayBuffer[Any @unchecked] => b.toSeq
+        case b: scala.collection.mutable.LinkedHashMap[String @unchecked, Any @unchecked] =>
+          b.toMap
         case v => v
       }
       i += 1

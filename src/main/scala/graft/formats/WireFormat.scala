@@ -53,6 +53,29 @@ object WireFormat {
           s"""{"type":"struct","fields":$fields,"optional":$optional$nameAttr$fieldAttr}"""
         case ArrayType(et, containsNull) =>
           s"""{"type":"array","items":${typeJson(et, containsNull, None)},"optional":$optional$fieldAttr}"""
+        case MapType(kt, vt, valueContainsNull) =>
+          s"""{"type":"map","keys":${typeJson(kt, optional = false, None)},""" +
+            s""""values":${typeJson(vt, valueContainsNull, None)},"optional":$optional$fieldAttr}"""
+        // Connect LOGICAL types: a named base type (Timestamp/Date/Decimal
+        // are what the reference's Debezium JSON converter embeds for
+        // temporal/decimal columns; the perf schema's timestamptz rides
+        // exactly this way — ConvertingEngineBuilder.java:198-234). NOTE the
+        // payload rendering follows Spark's to_json conventions (ISO-8601
+        // strings, plain decimal numbers) — self-consistent with our
+        // from_json decode, documented divergence from Connect's
+        // epoch-millis integers.
+        case TimestampType =>
+          s"""{"type":"int64","name":"org.apache.kafka.connect.data.Timestamp","version":1,"optional":$optional$fieldAttr}"""
+        case TimestampNTZType =>
+          // Connect has no NTZ notion; a vendor parameter preserves the
+          // Spark-side distinction through a self-describing round trip
+          s"""{"type":"int64","name":"org.apache.kafka.connect.data.Timestamp","version":1,""" +
+            s""""parameters":{"graft.spark.type":"timestamp_ntz"},"optional":$optional$fieldAttr}"""
+        case DateType =>
+          s"""{"type":"int32","name":"org.apache.kafka.connect.data.Date","version":1,"optional":$optional$fieldAttr}"""
+        case d: DecimalType =>
+          s"""{"type":"bytes","name":"org.apache.kafka.connect.data.Decimal","version":1,""" +
+            s""""parameters":{"scale":"${d.scale}","connect.decimal.precision":"${d.precision}"},"optional":$optional$fieldAttr}"""
         case p => primName.get(p) match {
           case Some(n) => s"""{"type":"$n","optional":$optional$fieldAttr}"""
           case None => throw new IllegalArgumentException(
@@ -69,7 +92,23 @@ object WireFormat {
     * exactly this way, MTEngine.java:654-660). */
   def connectSchemaFromJson(json: String): StructType = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    def parse(node: com.fasterxml.jackson.databind.JsonNode): org.apache.spark.sql.types.DataType =
+    def parse(node: com.fasterxml.jackson.databind.JsonNode): org.apache.spark.sql.types.DataType = {
+      // named LOGICAL types take precedence over the base type
+      node.path("name").asText("") match {
+        case "org.apache.kafka.connect.data.Timestamp" =>
+          return if (node.path("parameters").path("graft.spark.type")
+              .asText("") == "timestamp_ntz")
+            org.apache.spark.sql.types.TimestampNTZType
+          else org.apache.spark.sql.types.TimestampType
+        case "org.apache.kafka.connect.data.Date" =>
+          return org.apache.spark.sql.types.DateType
+        case "org.apache.kafka.connect.data.Decimal" =>
+          val params = node.path("parameters")
+          return org.apache.spark.sql.types.DecimalType(
+            params.path("connect.decimal.precision").asText("38").toInt,
+            params.path("scale").asText("0").toInt)
+        case _ =>
+      }
       node.get("type").asText() match {
         case "struct" =>
           val fields = scala.collection.mutable.ArrayBuffer
@@ -83,9 +122,14 @@ object WireFormat {
           val items = node.get("items")
           org.apache.spark.sql.types.ArrayType(parse(items),
             items.path("optional").asBoolean(true))
+        case "map" =>
+          val values = node.get("values")
+          org.apache.spark.sql.types.MapType(parse(node.get("keys")),
+            parse(values), values.path("optional").asBoolean(true))
         case p => primType.getOrElse(p, throw new IllegalArgumentException(
           s"unknown connect schema type '$p'"))
       }
+    }
     parse(mapper.readTree(json)) match {
       case st: StructType => st
       case other => throw new IllegalArgumentException(

@@ -371,6 +371,39 @@ object CdcQueries {
         .orderBy("lsn")
     }),
 
+    // F1 temporal/decimal/map columns through the Avro converter as LOGICAL
+    // types (reference perf schema ships timestamptz + jsonb —
+    // perf/workloads/iot/schema.sql:4-17 — and the Connect converters carry
+    // them as Timestamp/Date/Decimal logical schemas,
+    // ConvertingEngineBuilder.java:198-234): typed encode -> registry-framed
+    // wire -> typed decode, identity gated at full value fidelity (micros,
+    // decimal scale, map lookups)
+    "cdc_wire_temporal" -> ((s, d) => {
+      val k = get_json_object(col("props"), "$.k").cast("int")
+      val base = ev(s, d).select(
+        col("event_id").as("lsn"),
+        col("ts").cast("timestamp").as("ts_tz"),
+        col("ts").as("ts_ntz"), // events.ts is TIMESTAMP_NTZ in the parquet
+        to_date(col("ts")).as("day"),
+        // string-built decimal: exact in both engines (no float rounding)
+        concat(k.cast("string"), lit("."),
+          lpad(pmod(col("event_id"), lit(10000)).cast("string"), 4, "0"))
+          .cast("decimal(12,4)").as("amount"),
+        map(lit("type"), col("event_type"), lit("k"), k.cast("string")).as("attrs"))
+      val cols = Seq("ts_tz", "ts_ntz", "day", "amount", "attrs")
+      val pt = StructType(cols.map(base.schema(_)))
+      val wire = graft.formats.AvroWire.encode(base, cols, 11, keep = Seq("lsn"))
+      graft.formats.AvroWire.decode(wire, Map(11 -> pt), 11, keep = Seq("lsn"))
+        .select(col("lsn"),
+          unix_micros(col("ts_tz")).as("ts_us"),
+          unix_micros(col("ts_ntz").cast("timestamp")).as("ntz_us"),
+          col("day").cast("string").as("day_s"),
+          col("amount").cast("string").as("amount_s"),
+          col("attrs")("type").as("attr_type"),
+          col("attrs")("k").as("attr_k"))
+        .orderBy("lsn")
+    }),
+
     // F5 time-pattern path rendering ({YEAR}/{MONTH}/... object naming,
     // deterministic — no UUID, see SURVEY §7.3)
     "cdc_time_path" -> ((s, d) =>
@@ -561,6 +594,17 @@ object CdcQueries {
         |  CASE WHEN op IN ('u', 'd') THEN prev_user_id END AS before_user_id,
         |  CASE WHEN op IN ('u', 'd') THEN prev_k END AS before_k
         |FROM base ORDER BY lsn""".stripMargin,
+    "cdc_wire_temporal" ->
+      """SELECT event_id AS lsn,
+        |       epoch_us(ts) AS ts_us,
+        |       epoch_us(ts) AS ntz_us,
+        |       CAST(CAST(ts AS DATE) AS VARCHAR) AS day_s,
+        |       CAST(CAST(json_extract_string(props, '$.k') || '.' ||
+        |              lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+        |            AS DECIMAL(12,4)) AS VARCHAR) AS amount_s,
+        |       event_type AS attr_type,
+        |       json_extract_string(props, '$.k') AS attr_k
+        |FROM events ORDER BY event_id""".stripMargin,
     "cdc_time_path" ->
       """SELECT event_id,
         |       CAST(year(ts) AS VARCHAR) || '/' || lpad(CAST(month(ts) AS VARCHAR), 2, '0')

@@ -155,6 +155,158 @@ class WireFormatSpec extends SparkTestBase {
     assert(backEmpty.isNullAt(0), "empty repeated field must normalize to NULL")
   }
 
+  // --- temporal / decimal / map wire types (reference perf schema carries
+  // timestamptz + jsonb — perf/workloads/iot/schema.sql:4-17; the Connect
+  // converters ship them as logical types, ConvertingEngineBuilder.java:198-234)
+
+  private val richSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("ntz", TimestampNTZType, nullable = true),
+    StructField("day", DateType, nullable = true),
+    StructField("amount", DecimalType(12, 4), nullable = true),
+    StructField("attrs", MapType(StringType, LongType, valueContainsNull = true),
+      nullable = true)))
+
+  private def richRows = Seq(
+    org.apache.spark.sql.Row(1L,
+      java.sql.Timestamp.valueOf("2024-03-01 10:20:30.123456"),
+      java.time.LocalDateTime.parse("2024-03-01T10:20:30.000001"),
+      java.sql.Date.valueOf("2024-03-01"),
+      new java.math.BigDecimal("-12345.6789"),
+      Map("a" -> 1L, "c" -> -7L)),
+    org.apache.spark.sql.Row(2L, null, null, null,
+      new java.math.BigDecimal("0.0001"), Map.empty[String, Long]),
+    org.apache.spark.sql.Row(3L,
+      java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"), null,
+      java.sql.Date.valueOf("1969-01-15"), null, null))
+
+  private def richDf = spark.createDataFrame(
+    spark.sparkContext.parallelize(richRows, 2), richSchema)
+
+  /** map columns can't ride set-op comparisons — project to comparable shape */
+  private def comparable(df: org.apache.spark.sql.DataFrame) = df.select(
+    col("id"), unix_micros(col("ts")).as("ts_us"),
+    col("ntz").cast("string").as("ntz_s"), col("day").cast("string").as("day_s"),
+    col("amount").cast("string").as("amount_s"),
+    array_sort(map_keys(col("attrs"))).as("ks"),
+    col("attrs")("a").as("va"), col("attrs")("c").as("vc"))
+
+  test("avro temporal/decimal/map round trip (logical types, fast-path reader)") {
+    val df = richDf
+    val cols = Seq("ts", "ntz", "day", "amount", "attrs")
+    val pt = StructType(cols.map(richSchema(_)))
+    val back = AvroWire.decode(
+      AvroWire.encode(df, cols, 0, keep = Seq("id")), Map(0 -> pt), 0, keep = Seq("id"))
+    assert(comparable(back).exceptAll(comparable(df)).isEmpty &&
+      comparable(df).exceptAll(comparable(back)).isEmpty)
+    // micros survive (JSON's millis rendering would truncate; binary must not)
+    assert(back.filter(col("id") === 1)
+      .select(unix_micros(col("ts"))).head().getLong(0) % 1000 == 456L)
+  }
+
+  test("avro logical types survive the LIBRARY reader (schema-resolution path)") {
+    // decode at a DIFFERENT target version — routes through GenericDatumReader
+    // + fromDatum, cross-checking the hand-rolled writer against the
+    // reference implementation for every logical type incl. map
+    val df = richDf
+    val cols = Seq("ts", "ntz", "day", "amount", "attrs")
+    val v0 = StructType(cols.map(richSchema(_)))
+    val v1 = StructType(v0.fields :+ StructField("extra", IntegerType, nullable = true))
+    val back = AvroWire.decode(
+      AvroWire.encode(df, cols, 0, keep = Seq("id")), Map(0 -> v0, 1 -> v1), 1,
+      keep = Seq("id"))
+    assert(back.filter(col("extra").isNotNull).isEmpty)
+    assert(comparable(back).exceptAll(comparable(df)).isEmpty &&
+      comparable(df).exceptAll(comparable(back)).isEmpty)
+  }
+
+  test("proto temporal/decimal/map round trip") {
+    val df = richDf
+    val cols = Seq("ts", "ntz", "day", "amount", "attrs")
+    val pt = StructType(cols.map(richSchema(_)))
+    val back = ProtoWire.decode(
+      ProtoWire.encode(df, cols, 0, keep = Seq("id")), Map(0 -> pt), 0, keep = Seq("id"))
+    // proto3 presence: the EMPTY map (id=2) is absent on the wire and reads
+    // back NULL — normalize both sides before comparing
+    def cmp(d: org.apache.spark.sql.DataFrame) = comparable(d)
+      .withColumn("ks", when(col("ks").isNull, array().cast("array<string>"))
+        .otherwise(col("ks")))
+    assert(cmp(back).exceptAll(cmp(df)).isEmpty && cmp(df).exceptAll(cmp(back)).isEmpty)
+    assert(back.filter(col("id") === 1)
+      .select(unix_micros(col("ts"))).head().getLong(0) % 1000 == 456L)
+  }
+
+  test("proto PACKED repeated scalars decode (foreign-serializer interop)") {
+    // hand-build what a standard proto3 serializer emits for repeated
+    // numerics: ONE wire-type-2 block per field wrapping the packed values
+    // (our writer emits unpacked — this is the read-side interop path)
+    val bos = new java.io.ByteArrayOutputStream()
+    def vint(v0: Long): Unit = {
+      var v = v0
+      while ((v & ~0x7fL) != 0L) { bos.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      bos.write(v.toInt)
+    }
+    def zz(n: Long): Long = (n << 1) ^ (n >> 63)
+    bos.write(Array[Byte](0x01, 0, 0, 0, 0), 0, 5) // magic + schema id 0
+    val packed = new java.io.ByteArrayOutputStream()
+    Seq(1L, -2L, 300L).foreach { n =>
+      var v = zz(n)
+      while ((v & ~0x7fL) != 0L) { packed.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+      packed.write(v.toInt)
+    }
+    vint((1L << 3) | 2L); vint(packed.size.toLong); packed.writeTo(bos) // field 1
+    val dbl = new java.io.ByteArrayOutputStream()
+    Seq(1.5d, -2.25d).foreach { d =>
+      var bits = java.lang.Double.doubleToLongBits(d)
+      (0 until 8).foreach { _ => dbl.write((bits & 0xff).toInt); bits >>>= 8 }
+    }
+    vint((2L << 3) | 2L); vint(dbl.size.toLong); dbl.writeTo(bos) // field 2
+    val pt = StructType(Seq(
+      StructField("nums", ArrayType(LongType, containsNull = false), nullable = true),
+      StructField("vals", ArrayType(DoubleType, containsNull = false), nullable = true)))
+    val df = Seq(Tuple1(bos.toByteArray)).toDF("wire")
+    val got = ProtoWire.decode(df, Map(0 -> pt), 0).head()
+    assert(got.getSeq[Long](0) == Seq(1L, -2L, 300L))
+    assert(got.getSeq[Double](1) == Seq(1.5d, -2.25d))
+  }
+
+  test("connect schema JSON round-trips temporal/decimal/map (incl. NTZ marker)") {
+    val st = StructType(Seq(
+      StructField("ts", TimestampType, nullable = true),
+      StructField("ntz", TimestampNTZType, nullable = false),
+      StructField("day", DateType, nullable = true),
+      StructField("amount", DecimalType(12, 4), nullable = true),
+      StructField("attrs", MapType(StringType, StringType, valueContainsNull = true),
+        nullable = true)))
+    assert(WireFormat.connectSchemaFromJson(WireFormat.connectSchemaJson(st)) == st)
+  }
+
+  test("schemas.enable json carries temporal/decimal/map via the embedded schema") {
+    // millis-precision inputs (to_json renders millis — documented divergence
+    // from Connect's epoch integers; binary formats carry full micros)
+    val df = richDf.withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+      .withColumn("ntz", col("ts").cast(TimestampNTZType))
+      .withColumn("attrs", map(lit("a"), col("amount").cast("string")))
+    val cols = Seq("ts", "ntz", "day", "amount", "attrs")
+    val wire = WireFormat.encode(df, WireFormat.Json, cols, 0,
+      keep = Seq("id"), schemasEnable = true)
+    // registry-less decode: the embedded schema alone must reconstruct the types
+    val back = WireFormat.decode(wire, WireFormat.Json, Map.empty, 0,
+      keep = Seq("id"), schemasEnable = true)
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.schema("ntz").dataType == TimestampNTZType)
+    assert(back.schema("day").dataType == DateType)
+    assert(back.schema("amount").dataType == DecimalType(12, 4))
+    assert(back.schema("attrs").dataType ==
+      MapType(StringType, StringType, valueContainsNull = true))
+    def cmp(d: org.apache.spark.sql.DataFrame) = d.select(col("id"),
+      unix_millis(col("ts")).as("ts_ms"), col("ntz").cast("string").as("ntz_s"),
+      col("day").cast("string").as("day_s"), col("amount").cast("string").as("amount_s"),
+      col("attrs")("a").as("va"))
+    assert(cmp(back).exceptAll(cmp(df)).isEmpty && cmp(df).exceptAll(cmp(back)).isEmpty)
+  }
+
   test("independent key/value converters: avro key + json value (F2 split)") {
     val ev = events
     val keyCols = Seq("repo", "path")
