@@ -52,7 +52,11 @@ final case class EngineConfig(
     // schema block in every JSON wire record
     schemasEnable: Boolean = false,
     // wire-sink text compression (reference S3 CompressionType): "none"|"gzip"
-    wireCompression: String = "none"
+    wireCompression: String = "none",
+    // registry-header framing for the binary formats (reference selects
+    // Confluent- vs Apicurio-protocol converter classes,
+    // ConvertingEngineBuilder.java:198-234): "confluent" | "apicurio"
+    registryFraming: String = graft.formats.RegistryFraming.Confluent
 )
 
 class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfig = EngineConfig()) {
@@ -73,7 +77,8 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
     * file-rollover cap, schema embedding, and text compression. */
   def wireSink(root: String): graft.formats.WireSink =
     new graft.formats.WireSink(spark, root, conf.format, conf.maxRecordsPerFile,
-      conf.keyFormat, conf.schemasEnable, conf.wireCompression)
+      conf.keyFormat, conf.schemasEnable, conf.wireCompression,
+      conf.registryFraming)
 
   /** Apply one epoch of raw (possibly duplicated / out-of-order) events.
     * Returns the number of rows applied, or -1 if the epoch was fenced. */

@@ -47,7 +47,8 @@ object ServerConfig {
       format = p("format.value").getOrElse(d.format),
       keyFormat = p("format.key").getOrElse(d.keyFormat),
       schemasEnable = p("schemas.enable").map(_.toBoolean).getOrElse(d.schemasEnable),
-      wireCompression = p("wire.compression").getOrElse(d.wireCompression))
+      wireCompression = p("wire.compression").getOrElse(d.wireCompression),
+      registryFraming = p("registry.framing").getOrElse(d.registryFraming))
   }
 
   /**

@@ -17,8 +17,9 @@ import java.io.ByteArrayOutputStream
  * (cdcsdk-engine/src/main/java/com/yugabyte/cdcsdk/engine/ConvertingEngineBuilder.java:198-234
  * selects Avro/Apicurio/Confluent converter classes per key/value;
  * ServerApp.java:152-161 picks the format). Wire layout is the standard
- * registry framing: 1 magic byte (0x00) + 4-byte big-endian schema id +
- * Avro binary body.
+ * registry framing: 1 magic byte (0x00), then the schema id per the
+ * selected [[RegistryFraming]] (Confluent 4-byte int, the default, or
+ * Apicurio 8-byte globalId), then the Avro binary body.
  *
  * No spark-avro connector exists in this environment (only core
  * avro-1.12.1.jar), so the row<->bytes bridge is a per-partition
@@ -324,14 +325,9 @@ object AvroWire {
     case _ => v
   }
 
-  private def header(schemaId: Int): Array[Byte] =
-    Array(MAGIC, (schemaId >> 24).toByte, (schemaId >> 16).toByte,
-      (schemaId >> 8).toByte, schemaId.toByte)
-
-  def headerSchemaId(wire: Array[Byte]): Int = {
-    require(wire.length >= 5 && wire(0) == MAGIC, "bad avro wire header")
-    ((wire(1) & 0xff) << 24) | ((wire(2) & 0xff) << 16) | ((wire(3) & 0xff) << 8) | (wire(4) & 0xff)
-  }
+  def headerSchemaId(wire: Array[Byte],
+                     framing: String = RegistryFraming.Confluent): Int =
+    RegistryFraming.schemaId(framing, MAGIC, wire)
 
   /**
    * Serialize `payloadCols` of each row into an Avro `wire` binary column
@@ -340,11 +336,12 @@ object AvroWire {
    * themselves don't cross the driver/executor boundary.
    */
   def encode(df: DataFrame, payloadCols: Seq[String], schemaId: Int,
-             keep: Seq[String] = Seq.empty): DataFrame = {
+             keep: Seq[String] = Seq.empty,
+             framing: String = RegistryFraming.Confluent): DataFrame = {
     val payloadType = StructType(payloadCols.map(c => df.schema(c)).toArray)
     val outSchema = StructType(keep.map(c => df.schema(c)) :+
       StructField("wire", BinaryType, nullable = false))
-    val hdr = header(schemaId)
+    val hdr = RegistryFraming.header(framing, MAGIC, schemaId)
     df.select(keep.map(col) :+ struct(payloadCols.map(col): _*).as("_payload"): _*)
       .mapPartitions { rows =>
         val bos = new ByteArrayOutputStream(256)
@@ -367,7 +364,9 @@ object AvroWire {
    * side by side.
    */
   def decode(df: DataFrame, registry: Map[Int, StructType], targetSchemaId: Int,
-             keep: Seq[String] = Seq.empty): DataFrame = {
+             keep: Seq[String] = Seq.empty,
+             framing: String = RegistryFraming.Confluent): DataFrame = {
+    val hlen = RegistryFraming.headerLen(framing)
     val target = registry(targetSchemaId)
     val outSchema = StructType(keep.map(c => df.schema(c)).toArray ++ target.fields)
     df.select((keep.map(col) :+ col("wire")): _*)
@@ -385,12 +384,12 @@ object AvroWire {
         var decoder: org.apache.avro.io.BinaryDecoder = null
         rows.map { row =>
           val wire = row.getAs[Array[Byte]](row.length - 1)
-          val id = headerSchemaId(wire)
+          val id = headerSchemaId(wire, framing)
           val n = target.fields.length
           val vals = new Array[Any](n)
           if (id == targetSchemaId) {
             // fast path: exact schema match, direct binary read
-            val c = new Cursor(5)
+            val c = new Cursor(hlen)
             var i = 0
             while (i < n) {
               val f = target.fields(i)
@@ -399,7 +398,7 @@ object AvroWire {
           } else {
             // writer schema from the header, reader schema = target version
             // (Avro schema resolution fills added fields with defaults)
-            decoder = DecoderFactory.get().binaryDecoder(wire, 5, wire.length - 5, decoder)
+            decoder = DecoderFactory.get().binaryDecoder(wire, hlen, wire.length - hlen, decoder)
             val rec = readerFor(id).read(null, decoder)
             var i = 0
             while (i < n) { vals(i) = fromDatum(rec.get(i), target.fields(i).dataType); i += 1 }

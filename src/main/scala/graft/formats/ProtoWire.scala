@@ -20,7 +20,8 @@ import java.nio.charset.StandardCharsets
  * (proto3 presence semantics — an empty/all-null array is therefore
  * indistinguishable from an absent one and normalizes to NULL on decode).
  * Field numbers are StructType positions + 1; the registry header matches
- * the Avro framing (magic 0x01 + 4-byte schema id).
+ * the Avro framing (magic 0x01, then the id per the selected
+ * [[RegistryFraming]] — Confluent 4-byte or Apicurio 8-byte).
  */
 object ProtoWire {
 
@@ -248,22 +249,18 @@ object ProtoWire {
     Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(acc))
   }
 
-  private def header(schemaId: Int): Array[Byte] =
-    Array(MAGIC, (schemaId >> 24).toByte, (schemaId >> 16).toByte,
-      (schemaId >> 8).toByte, schemaId.toByte)
-
-  def headerSchemaId(wire: Array[Byte]): Int = {
-    require(wire.length >= 5 && wire(0) == MAGIC, "bad proto wire header")
-    ((wire(1) & 0xff) << 24) | ((wire(2) & 0xff) << 16) | ((wire(3) & 0xff) << 8) | (wire(4) & 0xff)
-  }
+  def headerSchemaId(wire: Array[Byte],
+                     framing: String = RegistryFraming.Confluent): Int =
+    RegistryFraming.schemaId(framing, MAGIC, wire)
 
   /** Serialize `payloadCols` into a proto3-wire `wire` binary column. */
   def encode(df: DataFrame, payloadCols: Seq[String], schemaId: Int,
-             keep: Seq[String] = Seq.empty): DataFrame = {
+             keep: Seq[String] = Seq.empty,
+             framing: String = RegistryFraming.Confluent): DataFrame = {
     val payloadType = StructType(payloadCols.map(c => df.schema(c)).toArray)
     val outSchema = StructType(keep.map(c => df.schema(c)) :+
       StructField("wire", BinaryType, nullable = false))
-    val hdr = header(schemaId)
+    val hdr = RegistryFraming.header(framing, MAGIC, schemaId)
     df.select(keep.map(col) :+ struct(payloadCols.map(col): _*).as("_payload"): _*)
       .mapPartitions { rows =>
         val out = new ByteArrayOutputStream(256)
@@ -281,15 +278,17 @@ object ProtoWire {
 
   /** Decode a proto3-wire `wire` column; absent fields read as NULL. */
   def decode(df: DataFrame, registry: Map[Int, StructType], targetSchemaId: Int,
-             keep: Seq[String] = Seq.empty): DataFrame = {
+             keep: Seq[String] = Seq.empty,
+             framing: String = RegistryFraming.Confluent): DataFrame = {
+    val hlen = RegistryFraming.headerLen(framing)
     val target = registry(targetSchemaId)
     val outSchema = StructType(keep.map(c => df.schema(c)).toArray ++ target.fields)
     df.select((keep.map(col) :+ col("wire")): _*)
       .mapPartitions { rows =>
         rows.map { row =>
           val wire = row.getAs[Array[Byte]](row.length - 1)
-          val written = registry(headerSchemaId(wire))
-          val parsed = parseMessage(wire, 5, wire.length, written)
+          val written = registry(headerSchemaId(wire, framing))
+          val parsed = parseMessage(wire, hlen, wire.length, written)
           // top-level schema routing by FIELD NAME onto the target version
           // (nested shapes follow the written schema — proto has no
           // Avro-style nested resolution)

@@ -10,6 +10,68 @@ import org.apache.spark.sql.types.StructType
  * converter instantiation ConvertingEngineBuilder.java:198-234). Here one
  * config string selects the serializer applied at the sink boundary.
  */
+/**
+ * Registry-header framing variants for the binary wire formats. The
+ * reference selects between Confluent-protocol and Apicurio-protocol
+ * converter classes by config (ConvertingEngineBuilder.java:198-234 — e.g.
+ * `io.apicurio.registry.utils.converter.AvroConverter` vs the Confluent
+ * `AvroConverter`); the two registries differ only in the per-record id
+ * framing, which is what this models:
+ *
+ *  - `confluent`: magic byte + 4-byte big-endian schema id (5-byte header)
+ *  - `apicurio`:  magic byte + 8-byte big-endian globalId (9-byte header —
+ *                 Apicurio's default serde writes the registry's long
+ *                 globalId after the magic byte)
+ *
+ * The magic byte itself stays per-format (0x00 avro, 0x01 proto — our
+ * registry convention); only the id width/interpretation varies.
+ */
+object RegistryFraming {
+  val Confluent = "confluent"
+  val Apicurio = "apicurio"
+
+  def headerLen(framing: String): Int = framing match {
+    case Confluent => 5
+    case Apicurio  => 9
+    case other => throw new IllegalArgumentException(s"unknown registry framing $other")
+  }
+
+  def header(framing: String, magic: Byte, schemaId: Int): Array[Byte] = framing match {
+    case Confluent =>
+      Array(magic, (schemaId >> 24).toByte, (schemaId >> 16).toByte,
+        (schemaId >> 8).toByte, schemaId.toByte)
+    case Apicurio =>
+      val id = schemaId.toLong
+      val out = new Array[Byte](9)
+      out(0) = magic
+      var i = 0
+      while (i < 8) { out(1 + i) = (id >> (56 - 8 * i)).toByte; i += 1 }
+      out
+    case other => throw new IllegalArgumentException(s"unknown registry framing $other")
+  }
+
+  /** Schema id from a framed record; fails loudly on the wrong magic or a
+    * truncated header (a confluent-framed record read as apicurio would
+    * otherwise yield a garbage id and a misaligned body). */
+  def schemaId(framing: String, magic: Byte, wire: Array[Byte]): Int = {
+    val len = headerLen(framing)
+    require(wire.length >= len && wire(0) == magic,
+      s"bad wire header (framing=$framing, expected magic=$magic)")
+    framing match {
+      case Confluent =>
+        ((wire(1) & 0xff) << 24) | ((wire(2) & 0xff) << 16) |
+          ((wire(3) & 0xff) << 8) | (wire(4) & 0xff)
+      case _ =>
+        var id = 0L
+        var i = 0
+        while (i < 8) { id = (id << 8) | (wire(1 + i) & 0xffL); i += 1 }
+        require(id >= 0 && id <= Int.MaxValue,
+          s"apicurio globalId $id outside this registry's int id space")
+        id.toInt
+    }
+  }
+}
+
 object WireFormat {
 
   val Json = "json"
@@ -161,7 +223,8 @@ object WireFormat {
    */
   def encode(df: DataFrame, format: String, payloadCols: Seq[String], schemaId: Int,
              keep: Seq[String] = Seq.empty, idCol: String = "lsn",
-             schemasEnable: Boolean = false): DataFrame = format match {
+             schemasEnable: Boolean = false,
+             framing: String = RegistryFraming.Confluent): DataFrame = format match {
     case Json =>
       val payload = to_json(struct(payloadCols.map(col): _*))
       // schemas.enable: wrap as {"schema": <connect schema>, "payload": {...}}
@@ -177,8 +240,8 @@ object WireFormat {
       df.select(keep.map(col) :+
         cloudEvents(struct(payloadCols.map(col): _*), col(idCol),
           "graft.cdc.change").as("wire"): _*)
-    case Avro  => AvroWire.encode(df, payloadCols, schemaId, keep)
-    case Proto => ProtoWire.encode(df, payloadCols, schemaId, keep)
+    case Avro  => AvroWire.encode(df, payloadCols, schemaId, keep, framing)
+    case Proto => ProtoWire.encode(df, payloadCols, schemaId, keep, framing)
     case other => throw new IllegalArgumentException(s"unknown wire format $other")
   }
 
@@ -213,7 +276,8 @@ object WireFormat {
   /** Deserialize a `wire` column back to flat payload columns. */
   def decode(df: DataFrame, format: String, registry: Map[Int, StructType],
              schemaId: Int, keep: Seq[String] = Seq.empty,
-             schemasEnable: Boolean = false): DataFrame = format match {
+             schemasEnable: Boolean = false,
+             framing: String = RegistryFraming.Confluent): DataFrame = format match {
     case Json if schemasEnable =>
       decodeEmbedded(df, keep, registry.get(schemaId))
     case Json =>
@@ -226,8 +290,8 @@ object WireFormat {
         org.apache.spark.sql.types.StructField("data", target)))
       df.select(keep.map(col) :+ from_json(col("wire"), env).as("_e"): _*)
         .select(keep.map(col) ++ target.fieldNames.map(n => col(s"_e.data.$n")): _*)
-    case Avro  => AvroWire.decode(df, registry, schemaId, keep)
-    case Proto => ProtoWire.decode(df, registry, schemaId, keep)
+    case Avro  => AvroWire.decode(df, registry, schemaId, keep, framing)
+    case Proto => ProtoWire.decode(df, registry, schemaId, keep, framing)
     case other => throw new IllegalArgumentException(s"unknown wire format $other")
   }
 }
@@ -244,7 +308,8 @@ class WireSink(spark: SparkSession, root: String, format: String,
                maxRecordsPerFile: Long = 0L,
                keyFormat: String = WireFormat.Json,
                schemasEnable: Boolean = false,
-               compression: String = "none") {
+               compression: String = "none",
+               framing: String = RegistryFraming.Confluent) {
 
   def epochDir(epochId: Long): String = f"$root/epoch=$epochId"
 
@@ -258,7 +323,7 @@ class WireSink(spark: SparkSession, root: String, format: String,
                  schemaId: Int = 0): Long = {
     val obs = org.apache.spark.sql.Observation(s"wire-epoch-$epochId")
     val wire = WireFormat.encode(events, format, payloadCols, schemaId,
-        schemasEnable = schemasEnable)
+        schemasEnable = schemasEnable, framing = framing)
       .observe(obs, count(lit(1)).as("rows"))
     val writer = sized(wire.write.mode("overwrite"))
     format match {
@@ -279,7 +344,8 @@ class WireSink(spark: SparkSession, root: String, format: String,
         spark.read.text(epochDir(epochId)).withColumnRenamed("value", "wire")
       case _ => spark.read.parquet(epochDir(epochId))
     }
-    WireFormat.decode(raw, format, registry, schemaId, schemasEnable = schemasEnable)
+    WireFormat.decode(raw, format, registry, schemaId, schemasEnable = schemasEnable,
+      framing = framing)
   }
 
   /** Kafka-Connect record shape: (key, value) pairs with INDEPENDENTLY
@@ -303,13 +369,14 @@ class WireSink(spark: SparkSession, root: String, format: String,
     val id = if (ordered || format == WireFormat.CloudEvents
         || keyFormat == WireFormat.CloudEvents) Seq("lsn") else Seq.empty
     val withValue = WireFormat.encode(events, format, payloadCols, schemaId,
-        keep = (keyCols ++ id).distinct, schemasEnable = schemasEnable)
+        keep = (keyCols ++ id).distinct, schemasEnable = schemasEnable,
+        framing = framing)
       .withColumnRenamed("wire", "value")
     // schemas.enable applies to BOTH converters (reference maps the knob to
     // key.converter AND value.converter, ServerApp.java configToProperties)
     val kv0 = WireFormat.encode(withValue, keyFormat, keyCols, schemaId,
         keep = (Seq("value") ++ id).distinct, idCol = "lsn",
-        schemasEnable = schemasEnable)
+        schemasEnable = schemasEnable, framing = framing)
       .withColumnRenamed("wire", "key")
     val kv = (if (!ordered) kv0
       else kv0.repartition(col("key")).sortWithinPartitions(col("key"), col("lsn")))
@@ -325,12 +392,12 @@ class WireSink(spark: SparkSession, root: String, format: String,
     val raw = spark.read.parquet(epochDir(epochId))
     val keyFlat = WireFormat.decode(raw.withColumnRenamed("key", "wire"),
       keyFormat, keyRegistry, schemaId, keep = Seq("value"),
-      schemasEnable = schemasEnable)
+      schemasEnable = schemasEnable, framing = framing)
     // keep = whatever key columns actually decoded (registry-less
     // schemas.enable decodes can't consult keyRegistry for the list)
     WireFormat.decode(keyFlat.withColumnRenamed("value", "wire"),
       format, valueRegistry, schemaId,
       keep = keyFlat.columns.toSeq.filterNot(_ == "value"),
-      schemasEnable = schemasEnable)
+      schemasEnable = schemasEnable, framing = framing)
   }
 }

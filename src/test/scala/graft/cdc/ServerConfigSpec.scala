@@ -26,10 +26,12 @@ class ServerConfigSpec extends SparkTestBase {
       "graft.engine.format.key" -> "avro",
       "graft.engine.schemas.enable" -> "true",
       "graft.engine.wire.compression" -> "gzip",
+      "graft.engine.registry.framing" -> "apicurio",
       "graft.engine.max.records.per.file" -> "1000",
       "graft.engine.offset.flush.interval.ms" -> "60000"))
     assert(cfg.numBuckets == 8 && cfg.format == "proto" && cfg.keyFormat == "avro")
     assert(cfg.schemasEnable && cfg.wireCompression == "gzip" && cfg.maxRecordsPerFile == 1000L)
+    assert(cfg.registryFraming == graft.formats.RegistryFraming.Apicurio)
     assert(!cfg.commitPolicy.performCommit(5, 1000))
     assert(cfg.commitPolicy.performCommit(1, 60001))
     // interval 0 = flush always (reference OFFSET_FLUSH_INTERVAL_MS=0)

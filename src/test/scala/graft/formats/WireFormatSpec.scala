@@ -40,6 +40,57 @@ class WireFormatSpec extends SparkTestBase {
     intercept[IllegalArgumentException](AvroWire.headerSchemaId(p))
   }
 
+  test("apicurio framing: 8-byte globalId header round-trips both binary formats") {
+    val ev = events
+    val pt = payloadType(ev)
+    for (format <- Seq(WireFormat.Avro, WireFormat.Proto)) {
+      val wire = WireFormat.encode(ev, format, payloadCols, 3, keep = Seq("lsn"),
+        framing = RegistryFraming.Apicurio)
+      val back = WireFormat.decode(wire, format, Map(3 -> pt), 3, keep = Seq("lsn"),
+        framing = RegistryFraming.Apicurio)
+      val want = ev.select("lsn", payloadCols: _*)
+      assert(back.exceptAll(want).isEmpty && want.exceptAll(back).isEmpty,
+        s"$format apicurio-framed round trip must be the identity")
+    }
+    // header layout: magic + 8-byte big-endian globalId, body starts at 9
+    val a = AvroWire.encode(ev.limit(1), payloadCols, 3,
+        framing = RegistryFraming.Apicurio)
+      .select("wire").as[Array[Byte]].head()
+    assert(a(0) == 0x00.toByte)
+    assert(AvroWire.headerSchemaId(a, RegistryFraming.Apicurio) == 3)
+    assert(a.slice(1, 8).forall(_ == 0) && a(8) == 3)
+    // same record confluent-framed is 4 bytes shorter and NOT interchangeable:
+    // a confluent read of an apicurio record must fail loudly, not misalign
+    val c = AvroWire.encode(ev.limit(1), payloadCols, 3)
+      .select("wire").as[Array[Byte]].head()
+    assert(a.length == c.length + 4)
+    intercept[IllegalArgumentException](
+      AvroWire.headerSchemaId(a.take(6), RegistryFraming.Apicurio))
+    // an apicurio read of a confluent record sees a garbage globalId far
+    // outside the int id space (the guard that catches framing mismatch)
+    intercept[IllegalArgumentException](
+      AvroWire.headerSchemaId(
+        c ++ Array.fill[Byte](4)(0x7f), RegistryFraming.Apicurio))
+  }
+
+  test("apicurio framing flows through the engine-configured KV sink") {
+    val dir = java.nio.file.Files.createTempDirectory("apicurio-kv").toString
+    val ev = events.limit(500)
+    // value payload disjoint from the key columns: the decoded KV frame
+    // carries key-decoded AND value-decoded columns side by side
+    val valueCols = Seq("op", "commit", "lang", "content", "ts_ms")
+    val sink = new WireSink(spark, dir, WireFormat.Avro,
+      keyFormat = WireFormat.Proto, framing = RegistryFraming.Apicurio)
+    val vt = StructType(valueCols.map(ev.schema(_)))
+    val kt = StructType(Model.keyCols.map(ev.schema(_)))
+    val n = sink.writeEpochKV(ev, 0, Model.keyCols, valueCols)
+    assert(n == 500)
+    val back = sink.readEpochKV(0, Map(0 -> kt), Map(0 -> vt), 0)
+    val want = ev.select((Model.keyCols ++ valueCols).map(col): _*)
+    assert(back.select(want.columns.map(col): _*).exceptAll(want).isEmpty &&
+      want.exceptAll(back.select(want.columns.map(col): _*)).isEmpty)
+  }
+
   test("proto zigzag survives negative integers") {
     val df = Seq((-5L, -1, "x"), (Long.MinValue + 1, Int.MinValue, "y"))
       .toDF("a", "b", "c")
