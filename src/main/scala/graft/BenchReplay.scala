@@ -40,7 +40,8 @@ object BenchReplay {
       hotKeys = 64, snapshotLsn = numEvents / 10)
     val table = new SnapshotTable(spark, root, numBuckets = 64, mode = mode)
     val engine = new CdcEngine(spark, table,
-      EngineConfig(numBuckets = 64, broadcastThresholdBytes = 0))
+      EngineConfig(numBuckets = 64, broadcastThresholdBytes = 0,
+        deltaCache = sys.env.getOrElse("SPARK_GRAFT_DELTA_CACHE", "mem")))
     val t0 = System.nanoTime()
     engine.replayGenerated(0, numEvents, epochs = 2, gen)
     val secs = (System.nanoTime() - t0) / 1e9

@@ -56,7 +56,12 @@ final case class EngineConfig(
     // registry-header framing for the binary formats (reference selects
     // Confluent- vs Apicurio-protocol converter classes,
     // ConvertingEngineBuilder.java:198-234): "confluent" | "apicurio"
-    registryFraming: String = graft.formats.RegistryFraming.Confluent
+    registryFraming: String = graft.formats.RegistryFraming.Confluent,
+    // delta cache policy for the merge's three passes over one epoch's
+    // delta: "mem" (deserialized rows) | "ser" (serialized blocks) |
+    // "none" (recompute per pass from the delta's lineage — zero executor
+    // memory footprint; right when the source re-reads by offset cheaply)
+    deltaCache: String = "mem"
 )
 
 class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfig = EngineConfig()) {
@@ -98,7 +103,8 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
     // MTEngine.java:1080-1138).
     val doCommit = conf.commitPolicy.performCommit(
       epochsSinceCommit + 1, System.currentTimeMillis() - lastCommitMs)
-    val res = table.merge(deduped, epochId, conf.broadcastThresholdBytes, commit = doCommit)
+    val res = table.merge(deduped, epochId, conf.broadcastThresholdBytes, commit = doCommit,
+      deltaCache = conf.deltaCache)
     if (doCommit) { epochsSinceCommit = 0; lastCommitMs = System.currentTimeMillis() }
     else epochsSinceCommit += 1
     if (res.applied) res.stats.map(_.rows).sum else -1L
@@ -156,7 +162,8 @@ class CdcEngine(spark: SparkSession, val table: SnapshotTable, conf: EngineConfi
 
     val doCommit = conf.commitPolicy.performCommit(
       epochsSinceCommit + 1, System.currentTimeMillis() - lastCommitMs)
-    val res = table.merge(delta, epochId, conf.broadcastThresholdBytes, commit = doCommit)
+    val res = table.merge(delta, epochId, conf.broadcastThresholdBytes, commit = doCommit,
+      deltaCache = conf.deltaCache)
     if (doCommit) { epochsSinceCommit = 0; lastCommitMs = System.currentTimeMillis() }
     else epochsSinceCommit += 1
     if (res.applied) res.stats.map(_.rows).sum else -1L

@@ -48,7 +48,8 @@ object ServerConfig {
       keyFormat = p("format.key").getOrElse(d.keyFormat),
       schemasEnable = p("schemas.enable").map(_.toBoolean).getOrElse(d.schemasEnable),
       wireCompression = p("wire.compression").getOrElse(d.wireCompression),
-      registryFraming = p("registry.framing").getOrElse(d.registryFraming))
+      registryFraming = p("registry.framing").getOrElse(d.registryFraming),
+      deltaCache = p("delta.cache").getOrElse(d.deltaCache))
   }
 
   /**

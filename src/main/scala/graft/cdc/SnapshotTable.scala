@@ -335,7 +335,7 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
    * no-op (fencing on (bucket, epochId)).
    */
   def merge(delta: DataFrame, epochId: Long, broadcastThresholdBytes: Long = 256L << 20,
-            commit: Boolean = true): MergeResult = {
+            commit: Boolean = true, deltaCache: String = "mem"): MergeResult = {
     val prev = effectiveManifest()
     if (prev.exists(_.containsEpoch(epochId)))
       return MergeResult(epochId, applied = false, Seq.empty)
@@ -347,8 +347,21 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
     val schemaChanged = mergedSchema != tableSchema
 
     val keyed = delta.withColumn("bucket", bucketCol)
-    // cache: used for the stats pass, the anti-join AND the upserts
-    keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the delta feeds three passes (stats, anti-join keys, upserts). Cache
+    // policy is the engine's call: "mem" caches deserialized rows (fewest
+    // recomputes, most heap+bandwidth), "ser" caches serialized blocks
+    // (compact, per-pass decode CPU), "none" recomputes each pass from the
+    // delta's own lineage — for a deterministic re-readable source (binlog
+    // by offset) the post-shuffle recompute trades CPU for memory traffic,
+    // the right direction on bandwidth-starved hosts and the only option
+    // that adds ZERO executor-memory footprint at 100 TB scale.
+    val level = deltaCache match {
+      case "mem"  => Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "ser"  => Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      case "none" => None
+      case other => throw new IllegalArgumentException(s"unknown deltaCache '$other'")
+    }
+    level.foreach(keyed.persist)
     try {
       // ONE action computes everything the driver needs: affected buckets,
       // delta size (broadcast decision), fencing inputs, lineage rows and
@@ -473,7 +486,7 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
       if (commit) commitPending()
       if (mode == "mor" && commit) compactIfNeeded()
       MergeResult(epochId, applied = true, mergedStats)
-    } finally keyed.unpersist()
+    } finally if (level.nonEmpty) keyed.unpersist()
   }
 
   /** Compact buckets whose stacked delta count exceeds the threshold:

@@ -36,6 +36,24 @@ class EngineE2ESpec extends SparkTestBase {
     assert(rows > 0 && bytes > 0)
   }
 
+  test("delta-cache policies (mem/ser/none) produce identical final state") {
+    // "none" recomputes each merge pass from the delta's lineage — only
+    // sound because the generator (≡ a binlog re-read by offset) is
+    // deterministic; this is the policy's correctness gate
+    val tables = Seq("mem", "ser", "none").map { policy =>
+      val table = new SnapshotTable(spark, tmpDir(s"snap-$policy"), numBuckets = 8)
+      val engine = new CdcEngine(spark, table, EngineConfig(
+        numBuckets = 8, deltaCache = policy))
+      engine.replayGenerated(0, 30000, epochs = 3, gen)
+      table
+    }
+    tables.foreach(t => assertTableMatchesOracle(t, 0, 30000))
+    intercept[IllegalArgumentException] {
+      new SnapshotTable(spark, tmpDir("snap-bad"), numBuckets = 8)
+        .merge(EventGen.events(spark, 0, 10, gen), 0L, deltaCache = "bogus")
+    }
+  }
+
   test("re-applying a committed epoch is a fenced no-op") {
     val root = tmpDir("snap")
     val table = new SnapshotTable(spark, root, numBuckets = 8)
