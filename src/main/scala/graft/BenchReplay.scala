@@ -39,8 +39,16 @@ object BenchReplay {
     val gen = GenConfig(numKeys = math.max(1000L, numEvents / 5),
       hotKeys = 64, snapshotLsn = numEvents / 10)
     val table = new SnapshotTable(spark, root, numBuckets = 64, mode = mode)
+    // broadcast threshold 0 (full-shuffle anti-join) is deliberate for the
+    // SCALING bench: the broadcast key-set build is serial driver work — a
+    // per-epoch constant that measured +15% at 1 core and ±0 at 4 cores
+    // (interleaved 24M-event reps, r5), i.e. an Amdahl tax that grows with
+    // parallelism. The engine's shipped default (256 MB threshold) remains
+    // the right call on a real cluster where broadcast saves network; the
+    // knob below lets a hand run measure either plan.
+    val bcast = sys.env.get("SPARK_GRAFT_BCAST").map(_.toLong).getOrElse(0L)
     val engine = new CdcEngine(spark, table,
-      EngineConfig(numBuckets = 64, broadcastThresholdBytes = 0,
+      EngineConfig(numBuckets = 64, broadcastThresholdBytes = bcast,
         deltaCache = sys.env.getOrElse("SPARK_GRAFT_DELTA_CACHE", "mem")))
     val t0 = System.nanoTime()
     engine.replayGenerated(0, numEvents, epochs = 2, gen)
