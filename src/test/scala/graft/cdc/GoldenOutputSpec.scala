@@ -41,6 +41,34 @@ class GoldenOutputSpec extends SparkTestBase {
       s"diffs: ${GoldenOutput.diffAll(spark, golden, candidate)}")
   }
 
+  test("gzip-compressed recordings compare transparently (codec from extension)") {
+    // reference parity: the S3 sink records gzipped jsonl objects — the
+    // harness must read .txt.gz parts as records, not bytes, and a gzip
+    // recording must compare equal against an uncompressed one of the
+    // SAME delivered sequence (codec is storage, not content)
+    def runZip(sinkRoot: String, compression: String): Unit = {
+      val sink = new graft.formats.WireSink(spark, sinkRoot,
+        graft.formats.WireFormat.Json, compression = compression)
+      (0 until 2).foreach { i =>
+        val delivered = Dedup.lastPerKey(
+          EventGen.events(spark, i * 4000L, (i + 1) * 4000L, gen),
+          Model.keyCols, "lsn")
+        sink.writeEpoch(delivered, i.toLong, payloadCols)
+      }
+    }
+    val gz = tmpDir("golden-gz"); runZip(gz, "gzip")
+    val gz2 = tmpDir("cand-gz"); runZip(gz2, "gzip")
+    val plain = tmpDir("cand-plain"); runZip(plain, "none")
+    // the recording really is gzipped on disk
+    val fs = new org.apache.hadoop.fs.Path(gz)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$gz/epoch=0"))
+      .map(_.getPath.getName).exists(_.endsWith(".txt.gz")))
+    assert(GoldenOutput.matches(spark, gz, gz2))
+    assert(GoldenOutput.matches(spark, gz, plain) &&
+      GoldenOutput.matches(spark, plain, gz))
+  }
+
   test("a single tampered record, a missing epoch, and an extra epoch are detected") {
     val golden = tmpDir("golden2")
     run(tmpDir("gt2"), golden, epochs = 3)
