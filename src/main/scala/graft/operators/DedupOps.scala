@@ -89,12 +89,51 @@ object DedupOps {
   private def nibble(h: Column, j: Int): Column =
     conv(substring(h, j, 1), 16, 10).cast("int")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // MinHash signatures + banded LSH candidate pairs + signature-agreement
-    // confirm. Pair generation is a single groupBy(band, bucket) + capped
-    // in-bucket explode (no window pass, no self-join re-shuffle, no fat-row
-    // distinct — the round-1 version spent 11.5 s here on 500 docs).
-    "doc_minhash_lsh" -> ((s, d) => {
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation: comp(n) := min(comp(n), min over neighbors'
+    * comp), to fixpoint. Each iteration is ONE shuffle join; the iteration
+    * count is the graph diameter — near-dup clusters are dense (diameter
+    * ≤ ~4), so this converges in a handful of rounds at any corpus size
+    * (the classic alternative for adversarial diameters is
+    * large-star/small-star from the "Connected Components in MapReduce and
+    * Beyond" paper; plain propagation is the right default for dedup
+    * graphs). Lineage is cut per round (localCheckpoint) so the plan does
+    * not grow with iterations. Fails loudly if maxIter is hit without a
+    * fixpoint rather than returning a half-merged labeling. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val Seq(a, b) = edges.columns.toSeq.take(2)
+    val bidir = edges.select(col(a).as("src"), col(b).as("dst"))
+      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every round — never recompute the pairs pipeline
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var i = 0
+    while (i < maxIter) {
+      val nbrMin = bidir.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id")).agg(min("comp").as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
+          (col("nbr") < col("comp")).as("changed"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("changed")).limit(1).count() > 0
+      labels = next.drop("changed")
+      if (!changed) return labels
+      i += 1
+    }
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations")
+  }
+
+  /** MinHash signatures + banded LSH candidate pairs + signature-agreement
+    * confirm, thresholded at est_jaccard >= 0.5 (shared by the pair query
+    * and the cluster-resolution query). Pair generation is a single
+    * groupBy(band, bucket) + capped in-bucket explode (no window pass, no
+    * self-join re-shuffle, no fat-row distinct — the round-1 version spent
+    * 11.5 s here on 500 docs). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
       // 3-gram shingles via posexplode + window lead: fully codegen'd
       // (the HOF transform-over-sequence alternative is interpreted and
       // cost 4.7 s alone at sf0.1 — see r1 bench post-mortem)
@@ -143,7 +182,23 @@ object DedupOps {
         .select(col("p.doc_a"), col("p.doc_b"), col("p.est_jaccard"))
       pairs.distinct()
         .filter(col("est_jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_minhash_lsh" -> ((s, d) => minhashPairs(s, d).orderBy("doc_a", "doc_b")),
+
+    // Near-dup CLUSTER RESOLUTION — the step a production dedup pipeline
+    // runs after pair generation: connected components over the near-dup
+    // graph (cluster id = min doc id in the component) and a canonical
+    // survivor per cluster (keep = the representative; every other member
+    // is the duplicate set to drop). Docs with no near-dup stay out of the
+    // frame — their keep decision is trivially true.
+    "doc_dup_clusters" -> ((s, d) => {
+      val edges = minhashPairs(s, d).select("doc_a", "doc_b")
+      connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          (col("id") === col("comp")).as("keep"))
+        .orderBy("doc_id")
     }),
 
     // 64-bit SimHash per document from token-frequency bit votes; bits come
@@ -208,49 +263,73 @@ object DedupOps {
     })
   )
 
+  /** The MinHash pairs pipeline as a DuckDB CTE chain (no leading WITH so
+    * the cluster oracle can prepend RECURSIVE); mirrors [[minhashPairs]]. */
+  private val minhashPairCtes: String = {
+    // 28-bit base hash from md5's first 7 hex chars, nibble-expanded
+    val hExpr = (1 to 7).map(j =>
+      s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (7 - j))}")
+      .mkString("(", " + ", ")")
+    val minCols = (0 until K).map(i =>
+      s"CAST(min((${permA(i)} * h + ${permB(i)}) % $P) AS INTEGER) AS m$i")
+      .mkString(",\n         ")
+    val bandKey = (b: Int) => (1 to K / B).map(r => s"CAST(sig[${b * (K / B) + r}] AS VARCHAR)")
+      .mkString(" || '|' || ")
+    val bandSelects = (0 until B).map(b =>
+      s"SELECT doc_id, sig, $b AS band, ${bandKey(b)} AS bkey FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+       |                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
+       |  FROM toks),
+       |hh AS (SELECT doc_id, $hExpr AS h FROM (SELECT doc_id, md5(shingle) AS m FROM sh)),
+       |mh AS (
+       |  SELECT doc_id,
+       |         $minCols
+       |  FROM hh GROUP BY doc_id),
+       |sig AS (SELECT doc_id, [${(0 until K).map(i => s"m$i").mkString(", ")}] AS sig FROM mh),
+       |banded AS (
+       |  $bandSelects),
+       |capped AS (
+       |  SELECT band, bkey FROM banded GROUP BY band, bkey
+       |  HAVING count(*) BETWEEN 2 AND $CAP),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+       |  FROM banded a
+       |  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  JOIN capped c ON c.band = a.band AND c.bkey = a.bkey),
+       |est AS (
+       |  SELECT doc_a, doc_b,
+       |         len(list_filter(range(1, ${K + 1}), i -> sa[i] = sb[i])) / $K.0 AS est_jaccard
+       |  FROM cand)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "doc_minhash_lsh" -> {
-      // 28-bit base hash from md5's first 7 hex chars, nibble-expanded
-      val hExpr = (1 to 7).map(j =>
-        s"(strpos('0123456789abcdef', substr(m, $j, 1)) - 1) * ${1L << (4 * (7 - j))}")
-        .mkString("(", " + ", ")")
-      val minCols = (0 until K).map(i =>
-        s"CAST(min((${permA(i)} * h + ${permB(i)}) % $P) AS INTEGER) AS m$i")
-        .mkString(",\n         ")
-      val bandKey = (b: Int) => (1 to K / B).map(r => s"CAST(sig[${b * (K / B) + r}] AS VARCHAR)")
-        .mkString(" || '|' || ")
-      val bandSelects = (0 until B).map(b =>
-        s"SELECT doc_id, sig, $b AS band, ${bandKey(b)} AS bkey FROM sig")
-        .mkString("\n  UNION ALL ")
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id,
-         |         unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
-         |                i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS shingle
-         |  FROM toks),
-         |hh AS (SELECT doc_id, $hExpr AS h FROM (SELECT doc_id, md5(shingle) AS m FROM sh)),
-         |mh AS (
-         |  SELECT doc_id,
-         |         $minCols
-         |  FROM hh GROUP BY doc_id),
-         |sig AS (SELECT doc_id, [${(0 until K).map(i => s"m$i").mkString(", ")}] AS sig FROM mh),
-         |banded AS (
-         |  $bandSelects),
-         |capped AS (
-         |  SELECT band, bkey FROM banded GROUP BY band, bkey
-         |  HAVING count(*) BETWEEN 2 AND $CAP),
-         |cand AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
-         |  FROM banded a
-         |  JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-         |  JOIN capped c ON c.band = a.band AND c.bkey = a.bkey),
-         |est AS (
-         |  SELECT doc_a, doc_b,
-         |         len(list_filter(range(1, ${K + 1}), i -> sa[i] = sb[i])) / $K.0 AS est_jaccard
-         |  FROM cand)
+    "doc_minhash_lsh" ->
+      s"""WITH $minhashPairCtes
          |SELECT DISTINCT doc_a, doc_b, est_jaccard
-         |FROM est WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
-    },
+         |FROM est WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // transitive closure over the (tiny at sf-test scale) near-dup graph;
+    // component id = min reachable doc id, survivor = the id itself
+    "doc_dup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |pairs AS (
+         |  SELECT DISTINCT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (
+         |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+         |  FROM reach GROUP BY src)
+         |SELECT doc_id, cluster_id, doc_id = cluster_id AS keep
+         |FROM comp ORDER BY doc_id""".stripMargin,
     "doc_simhash" -> {
       // bit i of md5(token): nibble = strpos in the hex alphabet of char
       // i/4+1; vote sign per bit, then re-assemble 16 hex chars

@@ -71,6 +71,23 @@ class NearDupSpec extends SparkTestBase {
       s"candidate pairs ${twicePairs / 2} exceed cap bound ${DedupOps.ECAP.toLong * rows / 2}")
   }
 
+  test("connected components: path graph needs multi-round propagation") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (diameter 4 — min label must propagate over several
+    // rounds), a 2-cycle {10,11}, and a triangle {20,21,22}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("doc_a", "doc_b")
+    val got = DedupOps.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 5L).forall(got(_) == 1L), s"path cluster wrong: $got")
+    assert(got(10L) == 10L && got(11L) == 10L)
+    assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+    // non-convergence is loud, not silent: one round cannot settle the path
+    intercept[IllegalStateException](
+      DedupOps.connectedComponents(edges, maxIter = 1).collect())
+  }
+
   test("simhash: exact copies collide, near copies are close in hamming") {
     val dir = tmpDir("neardup2")
     fixture
