@@ -102,25 +102,50 @@ object DedupOps {
     * fixpoint rather than returning a half-merged labeling. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val Seq(a, b) = edges.columns.toSeq.take(2)
-    val bidir = edges.select(col(a).as("src"), col(b).as("dst"))
-      .union(edges.select(col(b).as("src"), col(a).as("dst")))
+    // materialize the edge list ONCE before mirroring it: union's two
+    // branches would otherwise each evaluate the full upstream pipeline
+    // (the minhash pair generation dominated this operator's wall time
+    // until this checkpoint)
+    val once = edges.select(col(a).as("src"), col(b).as("dst")).localCheckpoint(true)
+    // the pair graph is SMALL relative to the corpus (it holds only docs
+    // with a near-dup candidate), while the upstream pipeline runs at the
+    // session's shuffle parallelism — right-size the rounds' partitioning
+    // to the graph (≤64-row partitions would pay per-round scheduler
+    // overhead for nothing; at real scale the edge count itself drives the
+    // partition count via the same rows-per-partition target)
+    val parts = math.max(1, math.min(once.sparkSession.sparkContext.defaultParallelism,
+      (once.count() / 10000L).toInt + 1))
+    val bidir = once
+      .union(once.select(col("dst"), col("src")))
       .distinct()
-      .localCheckpoint(true) // reused every round — never recompute the pairs pipeline
+      .repartition(parts, col("src"))
+      .localCheckpoint(true) // reused every round
     var labels = bidir.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
     var i = 0
     while (i < maxIter) {
+      // neighbor-min step: comp'(n) = min(comp(n), min over neighbors comp)
       val nbrMin = bidir.join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id")).agg(min("comp").as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"),
           (col("nbr") < col("comp")).as("changed"))
+      // pointer-jump step: comp''(n) = comp'(comp'(n)) — labels chase their
+      // own chain, collapsing convergence from O(diameter) rounds to
+      // O(log diameter) (the long-chain case is real: generation-pattern
+      // near-dup chains at sf0.1 needed ~10 plain rounds)
+      val jump = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val next = stepped.join(jump, stepped("comp") === col("jid"), "left")
+        .select(stepped("id"),
+          least(stepped("comp"), coalesce(col("jcomp"), stepped("comp"))).as("comp"),
+          (stepped("changed") || col("jcomp") < stepped("comp")).as("changed"))
         .localCheckpoint(true)
-      val changed = next.filter(col("changed")).limit(1).count() > 0
+      // ONE action per round: the eager checkpoint above materializes the
+      // round; the convergence check reads the cached result (tiny)
       labels = next.drop("changed")
-      if (!changed) return labels
+      if (next.filter(col("changed")).isEmpty) return labels
       i += 1
     }
     throw new IllegalStateException(
