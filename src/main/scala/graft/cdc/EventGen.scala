@@ -77,11 +77,19 @@ object EventGen {
       .withColumn("lang",
         when(col("op") === "d", lit(null: String))
           .otherwise(element_at(lit(langs), (pmod(h(5), lit(langs.length)) + 1).cast("int"))))
+      // the ~64-hex-char high-entropy body comes from four xxhash64 segments,
+      // NOT sha2: Spark's Sha2 allocates a MessageDigest per row, and the r5
+      // per-phase scaling attribution measured generation as the WORST-scaling
+      // stage (0.57 eff 1->4 cores, an allocation-bandwidth ceiling) — the
+      // synthetic source is scaffolding, not the engine under test, so it
+      // should cost as little as a real log read/decode would. Same length
+      // class, same compressibility (hex of independent 64-bit hashes), same
+      // determinism (pure function of lsn+seed).
       .withColumn("content",
         when(col("op") === "d", lit(null: String))
           .otherwise(concat(
             lit("content:"), col("repo"), lit(":"), col("path"), lit(":lsn="), col("lsn"),
-            lit(":"), sha2(concat(col("lsn").cast("string"), lit(":"), lit(cfg.seed)), 256))))
+            lit(":"), hex(h(10)), hex(h(11)), hex(h(12)), hex(h(13)))))
       .withColumn("schemaId", lit(schemaId))
       .withColumn("ts_ms", lit(1704067200000L) + col("lsn") * lit(10L))
       .drop("key")
