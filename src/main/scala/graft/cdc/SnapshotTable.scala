@@ -110,25 +110,32 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
     // (cannot happen under tmp+rename, but costs nothing to tolerate).
     // fs.open sits INSIDE the try: a version pruned between listStatus and
     // open must also fall through to the next one, not propagate.
-    manifestVersions().iterator.flatMap { v =>
-      try {
-        val in = fs.open(manifestFile(v))
-        try {
-          val node = mapper.readTree(in: java.io.InputStream)
-          // jackson-module-scala does NOT apply the Scala constructor
-          // default for a missing field — epochWatermark would silently
-          // deserialize to 0 and fence a never-committed epoch 0. A manifest
-          // without the field is malformed (e.g. a hand-migrated legacy
-          // manifest.json): fail loudly instead of mis-fencing.
-          if (!node.has("epochWatermark"))
-            throw new IllegalStateException(
-              s"manifest ${manifestFile(v)} lacks epochWatermark — a migrated " +
-                "manifest must carry \"epochWatermark\": -1 explicitly")
-          Some(mapper.treeToValue(node, classOf[Manifest]).normalized)
-        } finally in.close()
-      } catch { case _: java.io.IOException => None }
-    }.nextOption()
+    manifestVersions().iterator.flatMap(loadManifestVersion).nextOption()
   }
+
+  /** Parse one specific manifest version; None if missing/unreadable. */
+  def loadManifestVersion(v: Long): Option[Manifest] =
+    try {
+      val in = fs.open(manifestFile(v))
+      try {
+        val node = mapper.readTree(in: java.io.InputStream)
+        // jackson-module-scala does NOT apply the Scala constructor
+        // default for a missing field — epochWatermark would silently
+        // deserialize to 0 and fence a never-committed epoch 0. A manifest
+        // without the field is malformed (e.g. a hand-migrated legacy
+        // manifest.json): fail loudly instead of mis-fencing.
+        if (!node.has("epochWatermark"))
+          throw new IllegalStateException(
+            s"manifest ${manifestFile(v)} lacks epochWatermark — a migrated " +
+              "manifest must carry \"epochWatermark\": -1 explicitly")
+        Some(mapper.treeToValue(node, classOf[Manifest]).normalized)
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Manifest versions still on disk, newest first — the time-travel
+    * surface (commitManifest retains the trailing 3, like a short Iceberg
+    * snapshot-expiry window). */
+  def retainedVersions(): Seq[Long] = manifestVersions()
 
   // A root written by the pre-versioned-manifest layout (single
   // manifest.json) would read as an EMPTY table here and vacuum() could then
@@ -244,9 +251,34 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
     * distinct directory, so unread buckets cost zero IO). For MOR buckets
     * with stacked deltas, base and deltas are reconciled by max-LSN
     * (deletes win by tombstone) — Iceberg merge-on-read semantics. */
-  def readBuckets(only: Option[Set[Int]]): DataFrame = {
-    val schema = currentSchema()
-    effectiveManifest() match {
+  def readBuckets(only: Option[Set[Int]]): DataFrame =
+    readWith(effectiveManifest(), only)
+
+  /** Iceberg-style time travel: read the table state AS OF a committed
+    * manifest version (see [[retainedVersions]]). Fails loudly — rather than
+    * silently returning a partial state — if the version is gone or any
+    * snapshot directory it references was removed by [[vacuum]] (the
+    * expired-snapshot case). */
+  def readVersion(version: Long, only: Option[Set[Int]] = None): DataFrame = {
+    val m = loadManifestVersion(version).getOrElse(throw new IllegalArgumentException(
+      s"no manifest version $version at $root — retained: ${retainedVersions().mkString(", ")}"))
+    m.buckets.values.flatMap(st => st.dir +: st.deltas.map(_.dir)).toSet
+      .filter(_.nonEmpty).foreach { dir =>
+        if (!fs.exists(new Path(root, dir))) throw new IllegalStateException(
+          s"snapshot expired: manifest v$version references $dir which was vacuumed")
+      }
+    readWith(Some(m), only)
+  }
+
+  private def readWith(manifest: Option[Manifest], only: Option[Set[Int]]): DataFrame = {
+    // time travel presents the table THROUGH the historical manifest: its
+    // schema version, its bucket->dir mapping; the current path is the same
+    // code with the effective (staged-inclusive) manifest
+    val schema = manifest match {
+      case Some(m) => DataType.fromJson(m.schemas(m.currentSchemaId.toString)).asInstanceOf[StructType]
+      case None    => Model.tableSchemaV0
+    }
+    manifest match {
       case None => emptyDf(schema)
       case Some(m) =>
         val wanted = m.buckets.toSeq

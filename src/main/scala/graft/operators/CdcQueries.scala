@@ -414,7 +414,37 @@ object CdcQueries {
             lpad(dayofmonth(col("ts")).cast("string"), 2, "0"), lit("/"),
             lpad(hour(col("ts")).cast("string"), 2, "0"), lit("/"),
             col("event_type")).as("path"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // T outbox event router (Debezium EventRouter semantics, the SMT family
+    // the reference's transform chain hosts): the events table as an outbox
+    // table — aggregate type routes the destination, aggregate id becomes
+    // the key, the payload rides as-is plus one expanded field; rows with a
+    // null payload are tombstones and are dropped (route.tombstone=drop)
+    "cdc_outbox_route" -> ((s, d) =>
+      ev(s, d).filter(col("props").isNotNull)
+        .select(
+          col("event_id").as("outbox_id"),
+          concat(lit("outbox.event."), col("event_type")).as("destination"),
+          col("user_id").as("aggregate_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          col("props").as("payload"))
+        .orderBy("outbox_id")),
+
+    // transaction-boundary metadata (Debezium transaction topic: BEGIN/END
+    // markers with per-tx event counts; the envelope's source.txId is the
+    // same lsn/16 grouping used by cdc_envelope_decode): one END row per tx
+    // with its event count, LSN bounds and distinct collections touched
+    "cdc_tx_boundaries" -> ((s, d) =>
+      ev(s, d).withColumn("txId", (col("event_id") / 16).cast("long"))
+        .groupBy(col("txId"))
+        .agg(
+          count(lit(1)).as("event_count"),
+          min(col("event_id")).as("first_lsn"),
+          max(col("event_id")).as("last_lsn"),
+          countDistinct(col("event_type")).as("n_collections"))
+        .withColumn("status", lit("END"))
+        .orderBy("txId"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -610,6 +640,21 @@ object CdcQueries {
         |       CAST(year(ts) AS VARCHAR) || '/' || lpad(CAST(month(ts) AS VARCHAR), 2, '0')
         |       || '/' || lpad(CAST(day(ts) AS VARCHAR), 2, '0')
         |       || '/' || lpad(CAST(hour(ts) AS VARCHAR), 2, '0') || '/' || event_type AS path
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "cdc_outbox_route" ->
+      """SELECT event_id AS outbox_id,
+        |       'outbox.event.' || event_type AS destination,
+        |       user_id AS aggregate_id,
+        |       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |       props AS payload
+        |FROM events WHERE props IS NOT NULL ORDER BY outbox_id""".stripMargin,
+    "cdc_tx_boundaries" ->
+      """SELECT CAST(floor(event_id / 16) AS BIGINT) AS txId,
+        |       CAST(count(*) AS BIGINT) AS event_count,
+        |       min(event_id) AS first_lsn,
+        |       max(event_id) AS last_lsn,
+        |       CAST(count(DISTINCT event_type) AS BIGINT) AS n_collections,
+        |       'END' AS status
+        |FROM events GROUP BY 1 ORDER BY txId""".stripMargin
   )
 }
