@@ -76,7 +76,20 @@ class SnapshotTable(val spark: SparkSession, val root: String, val numBuckets: I
     * are also the right trade against object-store throughput at scale. */
   private def withRollover(w: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row]) = {
     val c = w.option("compression", codec)
-    if (maxRecordsPerFile > 0) c.option("maxRecordsPerFile", maxRecordsPerFile) else c
+      // content/commit are unique-per-row high-entropy values: parquet's
+      // dictionary attempt on them is guaranteed to fall back after burning
+      // CPU + dictionary-page memory on every writer task. Per-column
+      // disable (ColumnConfigParser '#column' form); repo/path/lang keep
+      // dictionaries — they repeat heavily and prune well.
+      .option("parquet.enable.dictionary#content", "false")
+      .option("parquet.enable.dictionary#commit", "false")
+    // zstd level 1, not parquet-mr's default 3: on this table the bulk of
+    // the bytes is incompressible high-entropy content, and the measured
+    // ratio curve is flat (level 1/3/19 within ±3% of each other, level 1
+    // marginally SMALLER than 3) — so the higher level buys nothing and
+    // write CPU is the contended resource under parallel CoW epochs
+    val z = if (codec == "zstd") c.option("parquet.compression.codec.zstd.level", "1") else c
+    if (maxRecordsPerFile > 0) z.option("maxRecordsPerFile", maxRecordsPerFile) else z
   }
 
   private val hconf = spark.sparkContext.hadoopConfiguration
