@@ -64,6 +64,15 @@ object ServerConfig {
    *  - `hoistfield`  (T5, reference HoistField): nest `fields` (csv) under
    *                a new struct column `into`
    *  - `renamefield` (ReplaceField.renames): rename `from` to `to`
+   *  - `maskfield`   (Connect MaskField — the reference instantiates any
+   *                stock Connect Transformation class from config,
+   *                Transformations.java:50-82): null-out `fields` (csv),
+   *                or substitute a literal `replacement` cast to the
+   *                column type; `mask.length=N` instead masks a string
+   *                column with N `*` chars (the Debezium
+   *                `column.mask.with.N.chars` connector-level variant)
+   *  - `truncatefield` (Debezium `column.truncate.to.N.chars`): cap string
+   *                `fields` at `length` chars
    *  - `unwrap`      (T2, the reference's most-used SMT — FLATTEN /
    *                ExtractNewRecordState expanded into the chain by
    *                ServerApp.java:162-190): decode (key, value) wire JSON
@@ -98,6 +107,24 @@ object ServerConfig {
         case "renamefield" =>
           val from = p("from"); val to = p("to")
           (df: DataFrame) => df.withColumnRenamed(from, to)
+        case "maskfield" =>
+          val fields = p("fields").split(",").map(_.trim).toSeq
+          val maskLen = props.get(s"$prefix.$name.mask.length").map(_.toInt)
+          val replacement = props.get(s"$prefix.$name.replacement")
+          (df: DataFrame) => fields.foldLeft(df) { (d, f) =>
+            val dt = d.schema(f).dataType
+            val masked = maskLen match {
+              case Some(n) => lit("*" * n).cast(dt) // string-mask variant
+              case None => replacement.map(r => lit(r).cast(dt))
+                .getOrElse(lit(null).cast(dt)) // Connect MaskField default
+            }
+            d.withColumn(f, masked)
+          }
+        case "truncatefield" =>
+          val fields = p("fields").split(",").map(_.trim).toSeq
+          val len = p("length").toInt
+          (df: DataFrame) => fields.foldLeft(df)((d, f) =>
+            d.withColumn(f, substring(col(f), 1, len)))
         case "unwrap" =>
           // fail loudly at BUILD time on bad DDL (same contract as the
           // other steps), not when the first batch hits the chain

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
-import graft.cdc.Envelope
+import graft.cdc.{Envelope, ServerConfig}
 
 /**
  * The reference's dataflow operators (SURVEY.md §2), each exposed as a named
@@ -65,6 +65,25 @@ object CdcQueries {
         .select(col("event_id"),
           concat(lit("stream."), regexp_replace(col("event_type"), "(e|i)", "X"))
             .as("destination"))
+        .orderBy("event_id")),
+
+    // MaskField + column.truncate SMTs (reference Transformations.java
+    // instantiates any stock Connect Transformation from config; Debezium's
+    // column.mask.with / column.truncate.to are the connector-level twins).
+    // Built through the DECLARATIVE config chain so the oracle gates the
+    // config path, not a code-wired equivalent.
+    "cdc_mask_truncate" -> ((s, d) =>
+      ServerConfig.transformChain(Map(
+        "graft.transforms" -> "mask,pii,trunc",
+        "graft.transforms.mask.type" -> "maskfield",
+        "graft.transforms.mask.fields" -> "props",
+        "graft.transforms.mask.mask.length" -> "8",
+        "graft.transforms.pii.type" -> "maskfield",
+        "graft.transforms.pii.fields" -> "value",
+        "graft.transforms.trunc.type" -> "truncatefield",
+        "graft.transforms.trunc.fields" -> "event_type",
+        "graft.transforms.trunc.length" -> "3"))(ev(s, d))
+        .select("event_id", "event_type", "value", "props")
         .orderBy("event_id")),
 
     // T7 tombstone suppression + T8 null-key surrogate
@@ -470,6 +489,10 @@ object CdcQueries {
     "cdc_tombstone_nullkey" ->
       """SELECT event_id, coalesce(nullif(event_type, 'click'), 'default') AS part_key
         |FROM events WHERE value IS NOT NULL ORDER BY event_id""".stripMargin,
+    "cdc_mask_truncate" ->
+      """SELECT event_id, substring(event_type, 1, 3) AS event_type,
+        |       CAST(NULL AS DOUBLE) AS value, repeat('*', 8) AS props
+        |FROM events ORDER BY event_id""".stripMargin,
     "cdc_flatten_payload" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |       event_type AS op_hint

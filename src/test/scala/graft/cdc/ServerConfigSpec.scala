@@ -91,6 +91,38 @@ class ServerConfigSpec extends SparkTestBase {
       "graft.transforms.f.payload.ddl" -> "x INT")))
   }
 
+  test("maskfield and truncatefield SMTs: null-out, literal, star-mask, cap") {
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val chain = ServerConfig.transformChain(Map(
+      "graft.transforms" -> "pii,stars,subst,cap",
+      "graft.transforms.pii.type" -> "maskfield",          // Connect default: null-out
+      "graft.transforms.pii.fields" -> "value",
+      "graft.transforms.stars.type" -> "maskfield",        // column.mask.with.6.chars
+      "graft.transforms.stars.fields" -> "props",
+      "graft.transforms.stars.mask.length" -> "6",
+      "graft.transforms.subst.type" -> "maskfield",        // literal replacement, cast
+      "graft.transforms.subst.fields" -> "user_id",
+      "graft.transforms.subst.replacement" -> "0",
+      "graft.transforms.cap.type" -> "truncatefield",      // column.truncate.to.3.chars
+      "graft.transforms.cap.fields" -> "event_type",
+      "graft.transforms.cap.length" -> "3"))
+    val got = chain(ev)
+    // masking never changes names or types (nullability may widen: the
+    // Connect-default mask writes NULLs)
+    assert(got.schema.map(f => (f.name, f.dataType)) ==
+      ev.schema.map(f => (f.name, f.dataType)))
+    val row = got.agg(
+      count(col("value")).as("nonNullValues"),
+      count_distinct(col("props")).as("distinctProps"),
+      max(col("props")).as("p"),
+      max(col("user_id")).as("maxUid"),
+      max(length(col("event_type"))).as("maxTypeLen")).head()
+    assert(row.getLong(0) == 0L)            // value nulled out
+    assert(row.getLong(1) == 1L && row.getString(2) == "******")
+    assert(row.getLong(3) == 0L)            // user_id replaced by literal 0
+    assert(row.getInt(4) <= 3)              // event_type capped at 3 chars
+  }
+
   test("misconfigured chain fails loudly at build time, not mid-stream") {
     intercept[IllegalArgumentException](ServerConfig.transformChain(Map(
       "graft.transforms" -> "x", "graft.transforms.x.type" -> "nope")))
