@@ -4,10 +4,14 @@ import org.apache.avro.Schema
 import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
 import org.apache.avro.io.DecoderFactory
 import org.apache.avro.util.Utf8
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
-import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+import org.apache.spark.sql.{Column, DataFrame, ExprColumnBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, SpecializedGetters, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 import java.io.ByteArrayOutputStream
 
@@ -22,11 +26,16 @@ import java.io.ByteArrayOutputStream
  * Apicurio 8-byte globalId), then the Avro binary body.
  *
  * No spark-avro connector exists in this environment (only core
- * avro-1.12.1.jar), so the row<->bytes bridge is a per-partition
- * mapPartitions over a direct binary codec (writeDatum/readDatum below,
- * with the library reader as the cross-version resolution path) —
- * serialization is inherently per-record work, and the surrounding plan
- * stays columnar/codegen'd.
+ * avro-1.12.1.jar), so the row<->bytes bridge is a direct binary codec
+ * (writer/reader closures below, with the library reader as the
+ * cross-version resolution path). The codec runs as native Catalyst
+ * expressions over InternalRow ([[AvroEncodeExpr]]/[[AvroDecodeExpr]]) —
+ * r6 optimization: the former mapPartitions bridge deserialized every row
+ * to an external Row (java.sql temporals, scala Maps, boxed structs) and
+ * re-serialized it through a RowEncoder, which dominated the round-trip
+ * queries; the expressions read/write Spark's internal representation
+ * (UTF8String bytes, micros longs, ArrayData) with zero external
+ * conversion, and the surrounding plan stays a plain projection.
  * Schemas ride OUTSIDE the records (in the registry), which is the entire
  * point of the format: the per-record overhead is 5 header bytes, not an
  * embedded schema.
@@ -101,6 +110,11 @@ object AvroWire {
    * of the structurally identical proto writer); the library's
    * GenericDatumReader still decodes the output — every round-trip test
    * cross-checks this writer against the reference implementation.
+   *
+   * The writer for a schema is COMPILED ONCE into a tree of per-field
+   * closures over [[SpecializedGetters]] (InternalRow/ArrayData), so the
+   * per-row path does no type dispatch and no boxing beyond the values
+   * the wire itself needs.
    */
   private def writeVarLong(out: ByteArrayOutputStream, v0: Long): Unit = {
     var v = (v0 << 1) ^ (v0 >> 63) // zigzag
@@ -108,78 +122,98 @@ object AvroWire {
     out.write(v.toInt)
   }
 
-  private def writeDatum(out: ByteArrayOutputStream, v: Any, dt: DataType,
-                         nullable: Boolean): Unit = {
-    if (nullable) {
-      if (v == null) { out.write(0); return } // union index 0 = null
-      out.write(2) // union index 1, zigzag-varint encoded
-    } else require(v != null, s"null value for non-nullable avro field of $dt")
-    dt match {
-      case LongType    => writeVarLong(out, v.asInstanceOf[Long])
-      case IntegerType => writeVarLong(out, v.asInstanceOf[Int].toLong)
-      case ShortType   => writeVarLong(out, v.asInstanceOf[Short].toLong)
-      case BooleanType => out.write(if (v.asInstanceOf[Boolean]) 1 else 0)
-      case DoubleType =>
-        var bits = java.lang.Double.doubleToLongBits(v.asInstanceOf[Double])
-        var i = 0; while (i < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; i += 1 }
-      case FloatType =>
-        var bits = java.lang.Float.floatToIntBits(v.asInstanceOf[Float])
-        var i = 0; while (i < 4) { out.write(bits & 0xff); bits >>>= 8; i += 1 }
-      case StringType =>
-        val b = v.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  /** writes field `i` of a row/array/map-value holder to avro binary */
+  private type FieldWriter = (ByteArrayOutputStream, SpecializedGetters, Int) => Unit
+
+  private def writerFor(dt: DataType, nullable: Boolean): FieldWriter = {
+    val w: FieldWriter = dt match {
+      case LongType    => (out, g, i) => writeVarLong(out, g.getLong(i))
+      case IntegerType => (out, g, i) => writeVarLong(out, g.getInt(i).toLong)
+      case ShortType   => (out, g, i) => writeVarLong(out, g.getShort(i).toLong)
+      case BooleanType => (out, g, i) => out.write(if (g.getBoolean(i)) 1 else 0)
+      case DoubleType => (out, g, i) => {
+        var bits = java.lang.Double.doubleToLongBits(g.getDouble(i))
+        var j = 0; while (j < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; j += 1 }
+      }
+      case FloatType => (out, g, i) => {
+        var bits = java.lang.Float.floatToIntBits(g.getFloat(i))
+        var j = 0; while (j < 4) { out.write(bits & 0xff); bits >>>= 8; j += 1 }
+      }
+      case StringType => (out, g, i) => {
+        val u = g.getUTF8String(i)
+        writeVarLong(out, u.numBytes.toLong); u.writeTo(out)
+      }
+      case BinaryType => (out, g, i) => {
+        val b = g.getBinary(i)
         writeVarLong(out, b.length.toLong); out.write(b, 0, b.length)
-      case BinaryType =>
-        val b = v.asInstanceOf[Array[Byte]]
-        writeVarLong(out, b.length.toLong); out.write(b, 0, b.length)
-      case TimestampType =>
-        writeVarLong(out, v match {
-          case t: java.sql.Timestamp =>
-            org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
-          case i: java.time.Instant =>
-            org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)
-        })
-      case TimestampNTZType =>
-        writeVarLong(out, org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .localDateTimeToMicros(v.asInstanceOf[java.time.LocalDateTime]))
-      case DateType =>
-        writeVarLong(out, (v match {
-          case d: java.sql.Date =>
-            org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
-          case d: java.time.LocalDate => d.toEpochDay.toInt
-        }).toLong)
-      case d: DecimalType =>
+      }
+      // temporal values are ALREADY micros-since-epoch longs / days ints in
+      // the internal representation — the wire form, no conversion at all
+      case TimestampType | TimestampNTZType => (out, g, i) => writeVarLong(out, g.getLong(i))
+      case DateType => (out, g, i) => writeVarLong(out, g.getInt(i).toLong)
+      case d: DecimalType => (out, g, i) => {
         // Avro decimal logical type: unscaled two's-complement big-endian
-        // bytes at the SCHEMA's scale
-        val b = v.asInstanceOf[java.math.BigDecimal]
-          .setScale(d.scale).unscaledValue().toByteArray
+        // bytes at the SCHEMA's scale (internal Decimal is at that scale)
+        val b = g.getDecimal(i, d.precision, d.scale)
+          .toJavaBigDecimal.unscaledValue().toByteArray
         writeVarLong(out, b.length.toLong); out.write(b, 0, b.length)
+      }
       case MapType(StringType, vt, valueContainsNull) =>
-        val m = v.asInstanceOf[scala.collection.Map[String, Any]]
-        if (m.nonEmpty) {
-          writeVarLong(out, m.size.toLong)
-          m.foreach { case (k, mv) =>
-            val kb = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            writeVarLong(out, kb.length.toLong); out.write(kb, 0, kb.length)
-            writeDatum(out, mv, vt, valueContainsNull)
+        val vw = writerFor(vt, valueContainsNull)
+        (out, g, i) => {
+          val m = g.getMap(i)
+          val n = m.numElements()
+          if (n > 0) {
+            writeVarLong(out, n.toLong)
+            val ks = m.keyArray(); val vs = m.valueArray()
+            var j = 0
+            while (j < n) {
+              val k = ks.getUTF8String(j)
+              writeVarLong(out, k.numBytes.toLong); k.writeTo(out)
+              vw(out, vs, j)
+              j += 1
+            }
           }
+          out.write(0) // map block terminator
         }
-        out.write(0) // map block terminator
       case st: StructType =>
-        val row = v.asInstanceOf[Row]
-        var i = 0
-        while (i < st.fields.length) {
-          val f = st.fields(i)
-          writeDatum(out, if (row.isNullAt(i)) null else row.get(i), f.dataType, f.nullable)
-          i += 1
+        val fws = st.fields.map(f => writerFor(f.dataType, f.nullable))
+        (out, g, i) => {
+          val r = g.getStruct(i, fws.length)
+          var j = 0
+          while (j < fws.length) { fws(j)(out, r, j); j += 1 }
         }
       case ArrayType(et, containsNull) =>
-        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
-        if (seq.nonEmpty) {
-          writeVarLong(out, seq.length.toLong)
-          seq.foreach(e => writeDatum(out, e, et, containsNull))
+        val ew = writerFor(et, containsNull)
+        (out, g, i) => {
+          val a = g.getArray(i)
+          val n = a.numElements()
+          if (n > 0) {
+            writeVarLong(out, n.toLong)
+            var j = 0
+            while (j < n) { ew(out, a, j); j += 1 }
+          }
+          out.write(0) // array block terminator
         }
-        out.write(0) // array block terminator
       case other => throw new IllegalArgumentException(s"unsupported avro field type $other")
+    }
+    if (nullable)
+      (out, g, i) =>
+        if (g.isNullAt(i)) out.write(0) // union index 0 = null
+        else { out.write(2); w(out, g, i) } // union index 1, zigzag-varint
+    else
+      (out, g, i) => {
+        require(!g.isNullAt(i), s"null value for non-nullable avro field of $dt")
+        w(out, g, i)
+      }
+  }
+
+  /** top-level record writer (no union prefix) for a payload StructType */
+  private[formats] def recordWriter(st: StructType): (ByteArrayOutputStream, InternalRow) => Unit = {
+    val fws = st.fields.map(f => writerFor(f.dataType, f.nullable))
+    (out, row) => {
+      var i = 0
+      while (i < fws.length) { fws(i)(out, row, i); i += 1 }
     }
   }
 
@@ -190,6 +224,9 @@ object AvroWire {
    * nothing needs resolving, which dominated the nested-envelope decode.
    * Records written at a DIFFERENT schema version still go through the
    * library reader (Avro schema resolution fills/reorders fields).
+   * Like the writer, the reader for a schema is compiled once into a tree
+   * of closures producing INTERNAL values (UTF8String over the wire buffer,
+   * micros longs, GenericInternalRow).
    */
   private final class Cursor(var pos: Int)
 
@@ -202,107 +239,114 @@ object AvroWire {
     (acc >>> 1) ^ -(acc & 1) // unzigzag
   }
 
-  private def readDatum(wire: Array[Byte], c: Cursor, dt: DataType,
-                        nullable: Boolean): Any = {
-    if (nullable && readVarLong(wire, c) == 0L) return null
-    dt match {
-      case LongType    => readVarLong(wire, c)
-      case IntegerType => readVarLong(wire, c).toInt
-      case ShortType   => readVarLong(wire, c).toShort
-      case BooleanType => val b = wire(c.pos); c.pos += 1; b != 0
-      case DoubleType =>
+  private type FieldReader = (Array[Byte], Cursor) => Any
+
+  private def readerFor(dt: DataType, nullable: Boolean): FieldReader = {
+    val r: FieldReader = dt match {
+      case LongType    => (w, c) => readVarLong(w, c)
+      case IntegerType => (w, c) => readVarLong(w, c).toInt
+      case ShortType   => (w, c) => readVarLong(w, c).toShort
+      case BooleanType => (w, c) => { val b = w(c.pos); c.pos += 1; b != 0 }
+      case DoubleType => (w, c) => {
         var bits = 0L
-        var i = 0; while (i < 8) { bits |= (wire(c.pos + i) & 0xffL) << (8 * i); i += 1 }
+        var i = 0; while (i < 8) { bits |= (w(c.pos + i) & 0xffL) << (8 * i); i += 1 }
         c.pos += 8
         java.lang.Double.longBitsToDouble(bits)
-      case FloatType =>
+      }
+      case FloatType => (w, c) => {
         var bits = 0
-        var i = 0; while (i < 4) { bits |= (wire(c.pos + i) & 0xff) << (8 * i); i += 1 }
+        var i = 0; while (i < 4) { bits |= (w(c.pos + i) & 0xff) << (8 * i); i += 1 }
         c.pos += 4
         java.lang.Float.intBitsToFloat(bits)
-      case StringType =>
-        val len = readVarLong(wire, c).toInt
-        val s = new String(wire, c.pos, len, java.nio.charset.StandardCharsets.UTF_8)
+      }
+      case StringType => (w, c) => {
+        val len = readVarLong(w, c).toInt
+        val s = UTF8String.fromBytes(w, c.pos, len)
         c.pos += len; s
-      case BinaryType =>
-        val len = readVarLong(wire, c).toInt
-        val b = java.util.Arrays.copyOfRange(wire, c.pos, c.pos + len)
+      }
+      case BinaryType => (w, c) => {
+        val len = readVarLong(w, c).toInt
+        val b = java.util.Arrays.copyOfRange(w, c.pos, c.pos + len)
         c.pos += len; b
-      case TimestampType =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .toJavaTimestamp(readVarLong(wire, c))
-      case TimestampNTZType =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .microsToLocalDateTime(readVarLong(wire, c))
-      case DateType =>
-        org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .toJavaDate(readVarLong(wire, c).toInt)
-      case d: DecimalType =>
-        val len = readVarLong(wire, c).toInt
+      }
+      case TimestampType | TimestampNTZType => (w, c) => readVarLong(w, c)
+      case DateType => (w, c) => readVarLong(w, c).toInt
+      case d: DecimalType => (w, c) => {
+        val len = readVarLong(w, c).toInt
         val unscaled = new java.math.BigInteger(
-          java.util.Arrays.copyOfRange(wire, c.pos, c.pos + len))
+          java.util.Arrays.copyOfRange(w, c.pos, c.pos + len))
         c.pos += len
-        new java.math.BigDecimal(unscaled, d.scale)
+        Decimal(new java.math.BigDecimal(unscaled, d.scale), d.precision, d.scale)
+      }
       case MapType(StringType, vt, valueContainsNull) =>
-        val buf = Map.newBuilder[String, Any]
-        var count = readVarLong(wire, c)
-        while (count != 0L) {
-          if (count < 0L) { readVarLong(wire, c); count = -count } // block byte-size
-          var i = 0L
-          while (i < count) {
-            val klen = readVarLong(wire, c).toInt
-            val k = new String(wire, c.pos, klen, java.nio.charset.StandardCharsets.UTF_8)
-            c.pos += klen
-            buf += k -> readDatum(wire, c, vt, valueContainsNull)
-            i += 1
+        val vr = readerFor(vt, valueContainsNull)
+        (w, c) => {
+          val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+          val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var count = readVarLong(w, c)
+          while (count != 0L) {
+            if (count < 0L) { readVarLong(w, c); count = -count } // block byte-size
+            var i = 0L
+            while (i < count) {
+              val klen = readVarLong(w, c).toInt
+              keys += UTF8String.fromBytes(w, c.pos, klen)
+              c.pos += klen
+              vals += vr(w, c)
+              i += 1
+            }
+            count = readVarLong(w, c)
           }
-          count = readVarLong(wire, c)
+          new ArrayBasedMapData(
+            new GenericArrayData(keys.toArray), new GenericArrayData(vals.toArray))
         }
-        buf.result()
       case st: StructType =>
-        val vals = new Array[Any](st.fields.length)
-        var i = 0
-        while (i < st.fields.length) {
-          val f = st.fields(i)
-          vals(i) = readDatum(wire, c, f.dataType, f.nullable); i += 1
+        val frs = st.fields.map(f => readerFor(f.dataType, f.nullable))
+        (w, c) => {
+          val vals = new Array[Any](frs.length)
+          var i = 0
+          while (i < frs.length) { vals(i) = frs(i)(w, c); i += 1 }
+          new GenericInternalRow(vals)
         }
-        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
       case ArrayType(et, containsNull) =>
-        val buf = Seq.newBuilder[Any]
-        var count = readVarLong(wire, c)
-        while (count != 0L) {
-          if (count < 0L) { readVarLong(wire, c); count = -count } // block byte-size
-          var i = 0L
-          while (i < count) { buf += readDatum(wire, c, et, containsNull); i += 1 }
-          count = readVarLong(wire, c)
+        val er = readerFor(et, containsNull)
+        (w, c) => {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+          var count = readVarLong(w, c)
+          while (count != 0L) {
+            if (count < 0L) { readVarLong(w, c); count = -count } // block byte-size
+            var i = 0L
+            while (i < count) { buf += er(w, c); i += 1 }
+            count = readVarLong(w, c)
+          }
+          new GenericArrayData(buf.toArray)
         }
-        buf.result()
       case other => throw new IllegalArgumentException(s"unsupported avro field type $other")
     }
+    if (nullable) (w, c) => if (readVarLong(w, c) == 0L) null else r(w, c)
+    else r
   }
 
-  /** avro datum -> Spark value, recursively (Utf8 -> String, ByteBuffer ->
-    * Array[Byte], GenericRecord -> Row, avro array -> Seq). */
+  /** avro datum (library reader output) -> INTERNAL Spark value, recursively
+    * (Utf8 -> UTF8String, ByteBuffer -> Array[Byte], GenericRecord ->
+    * InternalRow, avro array -> ArrayData). Logical types arrive from
+    * GenericDatumReader as their BASE types (no conversions registered),
+    * which already ARE the internal forms (micros long / days int). */
   private def fromDatum(v: Any, dt: DataType): Any = v match {
     case null => null
-    case u: Utf8 => u.toString
-    // logical types arrive from GenericDatumReader as their BASE types (no
-    // conversions are registered) — map them onto the Spark type
-    case l: java.lang.Long if dt == TimestampType =>
-      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(l)
-    case l: java.lang.Long if dt == TimestampNTZType =>
-      org.apache.spark.sql.catalyst.util.DateTimeUtils.microsToLocalDateTime(l)
-    case i: Integer if dt == DateType =>
-      org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaDate(i)
+    case u: Utf8 => UTF8String.fromString(u.toString)
     case bb: java.nio.ByteBuffer if dt.isInstanceOf[DecimalType] =>
+      val d = dt.asInstanceOf[DecimalType]
       val a = new Array[Byte](bb.remaining()); bb.get(a)
-      new java.math.BigDecimal(new java.math.BigInteger(a),
-        dt.asInstanceOf[DecimalType].scale)
+      Decimal(new java.math.BigDecimal(new java.math.BigInteger(a), d.scale),
+        d.precision, d.scale)
     case m: java.util.Map[_, _] =>
       val vt = dt.asInstanceOf[MapType].valueType
-      val b = Map.newBuilder[String, Any]
-      m.forEach((k, mv) => b += k.toString -> fromDatum(mv, vt))
-      b.result()
+      val keys = new Array[Any](m.size()); val vals = new Array[Any](m.size())
+      var i = 0
+      m.forEach { (k, mv) =>
+        keys(i) = UTF8String.fromString(k.toString); vals(i) = fromDatum(mv, vt); i += 1
+      }
+      new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
     case bb: java.nio.ByteBuffer =>
       val a = new Array[Byte](bb.remaining()); bb.get(a); a
     case rec: GenericRecord =>
@@ -315,12 +359,13 @@ object AvroWire {
       while (i < st.fields.length) {
         vals(i) = fromDatum(rec.get(i), st.fields(i).dataType); i += 1
       }
-      Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+      new GenericInternalRow(vals)
     case l: java.util.List[_] =>
       val et = dt.asInstanceOf[ArrayType].elementType
-      val b = Seq.newBuilder[Any]
-      l.forEach(e => b += fromDatum(e, et))
-      b.result()
+      val arr = new Array[Any](l.size())
+      var i = 0
+      l.forEach { e => arr(i) = fromDatum(e, et); i += 1 }
+      new GenericArrayData(arr)
     case i: Integer if dt == ShortType => Short.box(i.shortValue())
     case _ => v
   }
@@ -331,83 +376,129 @@ object AvroWire {
 
   /**
    * Serialize `payloadCols` of each row into an Avro `wire` binary column
-   * (header + body); `keep` columns pass through. The Avro Schema is built
-   * once per task from the (serializable) StructType — avro Schemas
-   * themselves don't cross the driver/executor boundary.
+   * (header + body); `keep` columns pass through. Implemented as a native
+   * Catalyst expression over the payload struct — the projection stays in
+   * the surrounding whole-stage-codegen'd stage, one virtual call per row.
    */
   def encode(df: DataFrame, payloadCols: Seq[String], schemaId: Int,
              keep: Seq[String] = Seq.empty,
              framing: String = RegistryFraming.Confluent): DataFrame = {
     val payloadType = StructType(payloadCols.map(c => df.schema(c)).toArray)
-    val outSchema = StructType(keep.map(c => df.schema(c)) :+
-      StructField("wire", BinaryType, nullable = false))
-    val hdr = RegistryFraming.header(framing, MAGIC, schemaId)
-    df.select(keep.map(col) :+ struct(payloadCols.map(col): _*).as("_payload"): _*)
-      .mapPartitions { rows =>
-        val bos = new ByteArrayOutputStream(256)
-        rows.map { row =>
-          val p = row.getStruct(row.length - 1)
-          bos.reset()
-          bos.write(hdr, 0, hdr.length)
-          writeDatum(bos, p, payloadType, nullable = false)
-          Row.fromSeq(row.toSeq.dropRight(1) :+ bos.toByteArray)
-        }
-      }(Encoders.row(outSchema))
-      .toDF(outSchema.fieldNames.toIndexedSeq: _*)
-      .asInstanceOf[DataFrame]
+    val enc = ExprColumnBridge.column(AvroEncodeExpr(
+      ExprColumnBridge.expression(struct(payloadCols.map(col): _*)),
+      payloadType, schemaId, framing))
+    df.select(keep.map(col) :+ enc.as("wire"): _*)
   }
 
   /**
    * Decode a `wire` binary column back into flat payload columns; the
    * header's schema id selects the reader schema from `registry` (our event
    * schema registry), so records written at different schema versions decode
-   * side by side.
+   * side by side. The decode expression parses each record ONCE into a
+   * struct intermediate (multi-referenced non-cheap expressions are not
+   * duplicated by CollapseProject — same contract Envelope.decodeJson relies
+   * on for from_json), then the field projection is pure GetStructField.
    */
   def decode(df: DataFrame, registry: Map[Int, StructType], targetSchemaId: Int,
              keep: Seq[String] = Seq.empty,
              framing: String = RegistryFraming.Confluent): DataFrame = {
-    val hlen = RegistryFraming.headerLen(framing)
     val target = registry(targetSchemaId)
-    val outSchema = StructType(keep.map(c => df.schema(c)).toArray ++ target.fields)
-    df.select((keep.map(col) :+ col("wire")): _*)
-      .mapPartitions { rows =>
-        val schemas = scala.collection.mutable.Map.empty[Int, Schema]
-        def schemaFor(id: Int): Schema =
-          schemas.getOrElseUpdate(id, avroSchema(registry(id), s"payload_v$id"))
-        val targetAvro = schemaFor(targetSchemaId)
-        // one reader per WRITER schema version per task, not per row — the
-        // reader embeds the (expensive) writer->reader resolution
-        val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
-        def readerFor(id: Int): GenericDatumReader[GenericRecord] =
-          readers.getOrElseUpdate(id,
-            new GenericDatumReader[GenericRecord](schemaFor(id), targetAvro))
-        var decoder: org.apache.avro.io.BinaryDecoder = null
-        rows.map { row =>
-          val wire = row.getAs[Array[Byte]](row.length - 1)
-          val id = headerSchemaId(wire, framing)
-          val n = target.fields.length
-          val vals = new Array[Any](n)
-          if (id == targetSchemaId) {
-            // fast path: exact schema match, direct binary read
-            val c = new Cursor(hlen)
-            var i = 0
-            while (i < n) {
-              val f = target.fields(i)
-              vals(i) = readDatum(wire, c, f.dataType, f.nullable); i += 1
-            }
-          } else {
-            // writer schema from the header, reader schema = target version
-            // (Avro schema resolution fills added fields with defaults)
-            decoder = DecoderFactory.get().binaryDecoder(wire, hlen, wire.length - hlen, decoder)
-            val rec = readerFor(id).read(null, decoder)
-            var i = 0
-            while (i < n) { vals(i) = fromDatum(rec.get(i), target.fields(i).dataType); i += 1 }
-          }
-          new GenericRowWithSchema(
-            (row.toSeq.dropRight(1) ++ vals).toArray, outSchema): Row
-        }
-      }(Encoders.row(outSchema))
-      .toDF(outSchema.fieldNames.toIndexedSeq: _*)
-      .asInstanceOf[DataFrame]
+    val dec = ExprColumnBridge.column(AvroDecodeExpr(
+      ExprColumnBridge.expression(col("wire")), registry, targetSchemaId, framing))
+    df.select(keep.map(col) :+ dec.as("_dec"): _*)
+      .select(keep.map(col) ++
+        target.fieldNames.toSeq.map(n => col("_dec")(n).as(n)): _*)
+  }
+
+  /** Registry-framed Avro encode of a payload struct as a Catalyst
+    * expression: header bytes + the compiled record writer, evaluated on the
+    * struct's InternalRow. Codegen emits a single call into [[encodeRow]],
+    * so the projection stays inside whole-stage codegen. */
+  case class AvroEncodeExpr(child: Expression, payloadType: StructType,
+                            schemaId: Int, framing: String)
+      extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "avro_encode"
+
+    @transient private lazy val hdr = RegistryFraming.header(framing, MAGIC, schemaId)
+    @transient private lazy val writer = recordWriter(payloadType)
+    // per-task instance (task binaries are deserialized per task), so the
+    // reused buffer is thread-confined
+    @transient private lazy val bos = new ByteArrayOutputStream(256)
+
+    def encodeRow(row: InternalRow): Array[Byte] = {
+      bos.reset()
+      bos.write(hdr, 0, hdr.length)
+      writer(bos, row)
+      bos.toByteArray
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      encodeRow(v.asInstanceOf[InternalRow])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("avroEnc", this, classOf[AvroEncodeExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.encodeRow($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Registry-framed Avro decode to a struct of the target schema version.
+    * Exact-id records take the compiled direct reader; records written at a
+    * different registered version resolve through the library reader. */
+  case class AvroDecodeExpr(child: Expression, registry: Map[Int, StructType],
+                            targetSchemaId: Int, framing: String)
+      extends UnaryExpression {
+    override def dataType: DataType = registry(targetSchemaId)
+    override def prettyName: String = "avro_decode"
+
+    @transient private lazy val hlen = RegistryFraming.headerLen(framing)
+    @transient private lazy val target = registry(targetSchemaId)
+    @transient private lazy val fieldReaders =
+      target.fields.map(f => readerFor(f.dataType, f.nullable))
+    // library-reader fallback state: one reader per WRITER schema version
+    // per task (the reader embeds the expensive writer->reader resolution)
+    @transient private lazy val schemas = scala.collection.mutable.Map.empty[Int, Schema]
+    private def schemaFor(id: Int): Schema =
+      schemas.getOrElseUpdate(id, avroSchema(registry(id), s"payload_v$id"))
+    @transient private lazy val readers =
+      scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+    private def libReaderFor(id: Int): GenericDatumReader[GenericRecord] =
+      readers.getOrElseUpdate(id,
+        new GenericDatumReader[GenericRecord](schemaFor(id), schemaFor(targetSchemaId)))
+    @transient private var decoder: org.apache.avro.io.BinaryDecoder = null
+
+    def decodeWire(wire: Array[Byte]): InternalRow = {
+      val id = RegistryFraming.schemaId(framing, MAGIC, wire)
+      val n = target.fields.length
+      val vals = new Array[Any](n)
+      if (id == targetSchemaId) {
+        // fast path: exact schema match, direct binary read
+        val c = new Cursor(hlen)
+        var i = 0
+        while (i < n) { vals(i) = fieldReaders(i)(wire, c); i += 1 }
+      } else {
+        // writer schema from the header, reader schema = target version
+        // (Avro schema resolution fills added fields with defaults)
+        decoder = DecoderFactory.get().binaryDecoder(wire, hlen, wire.length - hlen, decoder)
+        val rec = libReaderFor(id).read(null, decoder)
+        var i = 0
+        while (i < n) { vals(i) = fromDatum(rec.get(i), target.fields(i).dataType); i += 1 }
+      }
+      new GenericInternalRow(vals)
+    }
+
+    override protected def nullSafeEval(v: Any): Any =
+      decodeWire(v.asInstanceOf[Array[Byte]])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("avroDec", this, classOf[AvroDecodeExpr].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.decodeWire($c);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
   }
 }

@@ -139,12 +139,13 @@ object CdcQueries {
     // F1 key/value converter: serialize the flattened payload to JSON wire
     // format (the reference's default format, ServerApp.java:97-99)
     "cdc_serialize_json" -> ((s, d) =>
-      ev(s, d).select(col("event_id"),
+      ev(s, d).select(col("event_id"), col("event_type"), col("props"))
+        .orderBy("event_id") // before the to_json — see cdc_roundtrip_avro
+        .select(col("event_id"),
           to_json(struct(
             col("event_id").as("lsn"),
             col("event_type").as("op"),
-            get_json_object(col("props"), "$.k").cast("int").as("k"))).as("wire"))
-        .orderBy("event_id")),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))).as("wire"))),
 
     // streaming-style tumbling window aggregation (1h) per event type
     "cdc_window_hourly" -> ((s, d) =>
@@ -174,37 +175,43 @@ object CdcQueries {
     }),
 
     // F1 Avro wire format round trip: registry-framed binary encode (magic +
-    // schema id + avro body) then decode — values must survive bit-exactly
+    // schema id + avro body) then decode — values must survive bit-exactly.
+    // The total order is established BEFORE the codec (r6, here and in the
+    // other wire queries): a trailing orderBy's range partitioner samples
+    // its child, executing the per-row encode+decode twice; sorting the slim
+    // payload first runs the codec exactly once (projections preserve the
+    // sorted order, and event_id is the unique sort key either way).
     "cdc_roundtrip_avro" -> ((s, d) => {
       val payload = ev(s, d).select(col("event_id"), col("event_type").as("op"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
+          get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
+        .orderBy("event_id")
       val pt = StructType(Seq("op", "k", "v").map(payload.schema(_)))
       val wire = graft.formats.AvroWire.encode(payload, Seq("op", "k", "v"), 0,
         keep = Seq("event_id"))
       graft.formats.AvroWire.decode(wire, Map(0 -> pt), 0, keep = Seq("event_id"))
-        .orderBy("event_id")
     }),
 
     // F1 protobuf wire format round trip (proto3 wire encoding: zigzag
     // varints, fixed64 doubles, length-delimited strings; absent = NULL)
     "cdc_roundtrip_proto" -> ((s, d) => {
       val payload = ev(s, d).select(col("event_id"), col("event_type").as("op"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
+          get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
+        .orderBy("event_id") // before the codec — see cdc_roundtrip_avro
       val pt = StructType(Seq("op", "k", "v").map(payload.schema(_)))
       val wire = graft.formats.ProtoWire.encode(payload, Seq("op", "k", "v"), 0,
         keep = Seq("event_id"))
       graft.formats.ProtoWire.decode(wire, Map(0 -> pt), 0, keep = Seq("event_id"))
-        .orderBy("event_id")
     }),
 
     // F1 CloudEvents 1.0 JSON envelope (the fourth converter family)
     "cdc_cloudevents" -> ((s, d) =>
-      ev(s, d).select(col("event_id"),
+      ev(s, d).select(col("event_id"), col("event_type"), col("props"))
+        .orderBy("event_id") // before the to_json — see cdc_roundtrip_avro
+        .select(col("event_id"),
           graft.formats.WireFormat.cloudEvents(
             struct(col("event_id").as("lsn"), col("event_type").as("op"),
               coalesce(get_json_object(col("props"), "$.k").cast("int"), lit(-1)).as("k")),
-            col("event_id"), "graft.cdc.change").as("wire"))
-        .orderBy("event_id")),
+            col("event_id"), "graft.cdc.change").as("wire"))),
 
     // T2/F1 the REAL Debezium envelope: build the nested
     // {before, after, source{...}, op, ts_ms} JSON with YB {value,set} cells
@@ -222,7 +229,10 @@ object CdcQueries {
         struct(col("user_id").as("value"), lit(true).as("set")).as("user_id"),
         struct(get_json_object(col("props"), "$.k").cast("int").as("value"),
           lit(true).as("set")).as("k"))
-      val wire = ev(s, d).select(col("event_id"),
+      val wire = ev(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"), col("props"), col("ts"))
+        .orderBy("event_id") // before encode+decode — see cdc_roundtrip_avro
+        .select(col("event_id"),
         to_json(struct(
           lit(null).cast(imgType).as("before"),
           when(op === "d", lit(null).cast(imgType)).otherwise(after).as("after"),
@@ -244,7 +254,6 @@ object CdcQueries {
           when(j("after")("user_id")("set") === true, j("after")("user_id")("value")).as("user_id"),
           when(j("after")("k")("set") === true, j("after")("k")("value")).as("k"),
           j("ts_ms").as("ts_ms"))
-        .orderBy("event_id")
     }),
 
     // F2 INDEPENDENT key/value converters (reference
@@ -254,8 +263,9 @@ object CdcQueries {
     // value-level identity as the gate
     "cdc_wire_keyvalue" -> ((s, d) => {
       val payload = ev(s, d).select(col("event_id").as("lsn"), col("user_id"),
-        col("event_type").as("op"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
+          col("event_type").as("op"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
+        .orderBy("lsn") // before the converter chain — see cdc_roundtrip_avro
       val keyT = StructType(Seq(payload.schema("user_id")))
       val valT = StructType(Seq("op", "k", "v").map(payload.schema(_)))
       val withValue = graft.formats.WireFormat.encode(payload,
@@ -269,7 +279,6 @@ object CdcQueries {
         kv.withColumnRenamed("key", "wire"), Map(0 -> keyT), 0, keep = Seq("lsn", "value"))
       graft.formats.WireFormat.decode(keyFlat.withColumnRenamed("value", "wire"),
           graft.formats.WireFormat.Json, Map(0 -> valT), 0, keep = Seq("lsn", "user_id"))
-        .orderBy("lsn")
     }),
 
     // F1/F2 schemas.enable (reference ServerApp.java:177-183): JSON wire
@@ -279,15 +288,17 @@ object CdcQueries {
     // wire path end to end in the driver's oracle)
     "cdc_schema_embed" -> ((s, d) => {
       val payload = ev(s, d).select(col("event_id").as("lsn"),
-        col("event_type").as("op"),
-        get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
+          col("event_type").as("op"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
+        .orderBy("lsn") // before the codec — see cdc_roundtrip_avro; the
+        // schema-collect pass additionally drops the sort entirely
+        // (EliminateSorts below the distinct aggregate)
       val pt = StructType(Seq("op", "k", "v").map(payload.schema(_)))
       val wire = graft.formats.WireFormat.encode(payload,
         graft.formats.WireFormat.Json, Seq("op", "k", "v"), 0,
         keep = Seq("lsn"), schemasEnable = true)
       graft.formats.WireFormat.decode(wire, graft.formats.WireFormat.Json,
           Map(0 -> pt), 0, keep = Seq("lsn"), schemasEnable = true)
-        .orderBy("lsn")
     }),
 
     // before-image support (REPLICA IDENTITY FULL — reference envelope
@@ -305,6 +316,7 @@ object CdcQueries {
           unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
         .withColumn("before_user_id", lag(col("user_id"), 1).over(byKey))
         .withColumn("before_k", lag(col("k"), 1).over(byKey))
+        .orderBy("lsn") // before wrap+decode — see cdc_roundtrip_avro
       val wire = Envelope.wrapJson(base, keyCols = Seq("user_id"),
         payloadCols = Seq("k"), ybCells = true, table = "events",
         replicaIdentityFull = true)
@@ -313,7 +325,6 @@ object CdcQueries {
           StructType(Seq(StructField("k", IntegerType))),
           ybCells = true, withBefore = true)
         .select(col("lsn"), col("op"), col("user_id"), col("k"), col("before_k"))
-        .orderBy("lsn")
     }),
 
     // F1 the FULL nested envelope through the Avro converter (reference
@@ -332,6 +343,7 @@ object CdcQueries {
           unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
         .withColumn("before_user_id", lag(col("user_id"), 1).over(byKey))
         .withColumn("before_k", lag(col("k"), 1).over(byKey))
+        .orderBy("lsn") // before the codec — see cdc_roundtrip_avro
       val withEnv = base.select(col("lsn").as("event_lsn"),
         Envelope.envelopeStruct(base, keyCols = Seq("user_id"),
           payloadCols = Seq("k"), ybCells = true, table = "events",
@@ -352,7 +364,6 @@ object CdcQueries {
           cell(e("after"), "k").as("k"),
           cell(e("before"), "user_id").as("before_user_id"),
           cell(e("before"), "k").as("before_k"))
-        .orderBy("lsn")
     }),
 
     // F1 the same nested envelope through the PROTO converter (embedded
@@ -369,6 +380,7 @@ object CdcQueries {
           unix_millis(col("ts").cast("timestamp")).as("ts_ms"))
         .withColumn("before_user_id", lag(col("user_id"), 1).over(byKey))
         .withColumn("before_k", lag(col("k"), 1).over(byKey))
+        .orderBy("lsn") // before the codec — see cdc_roundtrip_avro
       val withEnv = base.select(col("lsn").as("event_lsn"),
         Envelope.envelopeStruct(base, keyCols = Seq("user_id"),
           payloadCols = Seq("k"), ybCells = true, table = "events",
@@ -387,7 +399,6 @@ object CdcQueries {
           cell(e("after"), "k").as("k"),
           cell(e("before"), "user_id").as("before_user_id"),
           cell(e("before"), "k").as("before_k"))
-        .orderBy("lsn")
     }),
 
     // F1 temporal/decimal/map columns through the Avro converter as LOGICAL
@@ -400,15 +411,16 @@ object CdcQueries {
     "cdc_wire_temporal" -> ((s, d) => {
       val k = get_json_object(col("props"), "$.k").cast("int")
       val base = ev(s, d).select(
-        col("event_id").as("lsn"),
-        col("ts").cast("timestamp").as("ts_tz"),
-        col("ts").as("ts_ntz"), // events.ts is TIMESTAMP_NTZ in the parquet
-        to_date(col("ts")).as("day"),
-        // string-built decimal: exact in both engines (no float rounding)
-        concat(k.cast("string"), lit("."),
-          lpad(pmod(col("event_id"), lit(10000)).cast("string"), 4, "0"))
-          .cast("decimal(12,4)").as("amount"),
-        map(lit("type"), col("event_type"), lit("k"), k.cast("string")).as("attrs"))
+          col("event_id").as("lsn"),
+          col("ts").cast("timestamp").as("ts_tz"),
+          col("ts").as("ts_ntz"), // events.ts is TIMESTAMP_NTZ in the parquet
+          to_date(col("ts")).as("day"),
+          // string-built decimal: exact in both engines (no float rounding)
+          concat(k.cast("string"), lit("."),
+            lpad(pmod(col("event_id"), lit(10000)).cast("string"), 4, "0"))
+            .cast("decimal(12,4)").as("amount"),
+          map(lit("type"), col("event_type"), lit("k"), k.cast("string")).as("attrs"))
+        .orderBy("lsn") // before the codec — see cdc_roundtrip_avro
       val cols = Seq("ts_tz", "ts_ntz", "day", "amount", "attrs")
       val pt = StructType(cols.map(base.schema(_)))
       val wire = graft.formats.AvroWire.encode(base, cols, 11, keep = Seq("lsn"))
@@ -420,7 +432,6 @@ object CdcQueries {
           col("amount").cast("string").as("amount_s"),
           col("attrs")("type").as("attr_type"),
           col("attrs")("k").as("attr_k"))
-        .orderBy("lsn")
     }),
 
     // F5 time-pattern path rendering ({YEAR}/{MONTH}/... object naming,

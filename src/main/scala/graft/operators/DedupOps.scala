@@ -229,14 +229,19 @@ object DedupOps {
     // 64-bit SimHash per document from token-frequency bit votes; bits come
     // from md5 nibbles (portable), output rendered as 16 hex chars
     "doc_simhash" -> ((s, d) => {
+      // the 16 hex nibbles are hoisted into ONE projection (r6): the vote
+      // aggregates below read each nibble 4 times, and inlining nibble()
+      // there cost 64 substring+conv evaluations per (doc, token) row
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
         .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
         .withColumn("h", md5(col("token")))
+        .select(col("doc_id") +: col("w") +:
+          (0 until 16).map(j => nibble(col("h"), j + 1).as(s"nib$j")): _*)
       // per-bit weighted vote: bit i lives in hex char i/4, position 3-i%4
       val voteCols = (0 until 64).map { i =>
-        val bit = shiftright(nibble(col("h"), i / 4 + 1), 3 - i % 4).bitwiseAND(lit(1))
+        val bit = shiftright(col(s"nib${i / 4}"), 3 - i % 4).bitwiseAND(lit(1))
         sum(when(bit === 1, col("w")).otherwise(-col("w"))).as(s"v$i")
       }
       val votes = toks.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)

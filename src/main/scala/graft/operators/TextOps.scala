@@ -19,8 +19,12 @@ object TextOps {
   private def occPlain(c: Column, pat: String): Column =
     ((length(c) - length(replaceExpr(c, pat))) / pat.length).cast("long")
 
+  // literal removal via StringReplace (plain substring search, codegen'd) —
+  // r6: this was regexp_replace(Pattern.quote(pat)), which drags the whole
+  // java.util.regex engine through every occurrence count; doc_quality and
+  // doc_langid scan the text up to 16x per row through this helper
   private def replaceExpr(c: Column, pat: String): Column =
-    regexp_replace(c, java.util.regex.Pattern.quote(pat), "")
+    call_function("replace", c, lit(pat), lit(""))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact dedup: hash-groupBy on content digest (the 100 TB-safe baseline:
@@ -40,10 +44,18 @@ object TextOps {
           length(col("text")).cast("long").as("n_chars_measured"))
         .orderBy("doc_id")),
 
-    // quality scoring: length / punctuation / stopword signals
+    // quality scoring: length / punctuation / stopword signals.
+    // Sort BEFORE the scoring projection (r6, here and in the other per-doc
+    // scans below): the final orderBy's range partitioner samples its child,
+    // so a sort placed after the expensive expressions executes them twice —
+    // sorted(doc_id) -> project computes each score once and the sampling
+    // pass reads only the scan. Same rows, same total order (doc_id is the
+    // unique sort key either way).
     "doc_quality" -> ((s, d) => {
       val t = col("text")
-      Tables.documents(s, d).select(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+        .select(
           col("doc_id"),
           length(t).cast("long").as("n_chars"),
           occPlain(t, ".").as("n_periods"),
@@ -52,7 +64,6 @@ object TextOps {
           // mean token length: exact ints -> one division, bit-identical
           ((length(t) - occPlain(t, " ")) * lit(1.0) / (occPlain(t, " ") + 1))
             .as("mean_tok_len"))
-        .orderBy("doc_id")
     }),
 
     // language-ID: marker-word heuristic with a fixed priority tie-break
@@ -62,22 +73,24 @@ object TextOps {
       val es = occPlain(t, " el ") + occPlain(t, " la ")
       val de = occPlain(t, " der ") + occPlain(t, " und ")
       val fr = occPlain(t, " le ") + occPlain(t, " et ")
-      Tables.documents(s, d).select(
+      Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+        .orderBy("doc_id") // before the marker counts — see doc_quality note
+        .select(
           col("doc_id"),
           when(en >= es && en >= de && en >= fr, "en")
             .when(es >= de && es >= fr, "es")
             .when(de >= fr, "de")
             .otherwise("fr").as("pred_lang"),
           col("lang").as("labeled_lang"))
-        .orderBy("doc_id")
     }),
 
     // fingerprint: md5 of the normalized text (lowercase, alnum+space only)
     "doc_fingerprint" -> ((s, d) =>
-      Tables.documents(s, d).select(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .orderBy("doc_id") // before the regex+md5 — see doc_quality note
+        .select(
           col("doc_id"),
-          md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("fp"))
-        .orderBy("doc_id")),
+          md5(regexp_replace(lower(col("text")), "[^a-z0-9 ]", "")).as("fp"))),
 
     // PII/URL scrubbing — the standard pre-training sanitization pass:
     // emails and URLs replaced by typed placeholder tokens, runs of digits
@@ -96,11 +109,12 @@ object TextOps {
               "[0-9]{6,}", "<NUM>"),
             "\\b(a|the)\\b", "<STOP>"),
           "  +", " ")
-      Tables.documents(s, d).select(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .orderBy("doc_id") // before the regex chain — see doc_quality note
+        .select(
           col("doc_id"),
           scrubbed.as("clean"),
           (length(col("text")) - length(scrubbed)).as("removed_chars"))
-        .orderBy("doc_id")
     }),
 
     // unigram-Jaccard near-dup pairs over a bounded candidate window (full
