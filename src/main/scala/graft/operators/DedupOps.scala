@@ -102,11 +102,20 @@ object DedupOps {
     * fixpoint rather than returning a half-merged labeling. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val Seq(a, b) = edges.columns.toSeq.take(2)
+    // Lineage cut policy (r6, verdict #2): localCheckpoint pins blocks to
+    // executors — fast, but on a real cluster ONE lost executor mid-iteration
+    // fails the query instead of recomputing. When the session has a reliable
+    // checkpoint dir configured (sc.setCheckpointDir), use reliable
+    // checkpoint() so round state survives executor loss; the local fast
+    // path (no dir set) is unchanged.
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(true)
     // materialize the edge list ONCE before mirroring it: union's two
     // branches would otherwise each evaluate the full upstream pipeline
     // (the minhash pair generation dominated this operator's wall time
     // until this checkpoint)
-    val once = edges.select(col(a).as("src"), col(b).as("dst")).localCheckpoint(true)
+    val once = cut(edges.select(col(a).as("src"), col(b).as("dst")))
     // the pair graph is SMALL relative to the corpus (it holds only docs
     // with a near-dup candidate), while the upstream pipeline runs at the
     // session's shuffle parallelism — right-size the rounds' partitioning
@@ -119,10 +128,9 @@ object DedupOps {
       .union(once.select(col("dst"), col("src")))
       .distinct()
       .repartition(parts, col("src"))
-      .localCheckpoint(true) // reused every round
-    var labels = bidir.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+      .transform(cut) // reused every round
+    var labels = cut(bidir.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var i = 0
     while (i < maxIter) {
       // neighbor-min step: comp'(n) = min(comp(n), min over neighbors comp)
@@ -141,7 +149,7 @@ object DedupOps {
         .select(stepped("id"),
           least(stepped("comp"), coalesce(col("jcomp"), stepped("comp"))).as("comp"),
           (stepped("changed") || col("jcomp") < stepped("comp")).as("changed"))
-        .localCheckpoint(true)
+        .transform(cut)
       // ONE action per round: the eager checkpoint above materializes the
       // round; the convergence check reads the cached result (tiny)
       labels = next.drop("changed")

@@ -88,6 +88,28 @@ class NearDupSpec extends SparkTestBase {
       DedupOps.connectedComponents(edges, maxIter = 1).collect())
   }
 
+  test("connected components: reliable checkpoint path (cluster fault tolerance)") {
+    import spark.implicits._
+    // with a checkpoint dir configured, the per-round lineage cut goes
+    // through reliable checkpoint() (survives executor loss) instead of
+    // executor-pinned localCheckpoint — same labeling either way
+    val ckpt = tmpDir("cc-ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+        .toDF("doc_a", "doc_b")
+      val got = DedupOps.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 5L).forall(got(_) == 1L), s"path cluster wrong: $got")
+      assert(got(10L) == 10L && got(11L) == 10L)
+      assert(Seq(20L, 21L, 22L).forall(got(_) == 20L))
+      // the reliable path actually wrote round state to the checkpoint dir
+      val wrote = new java.io.File(ckpt).listFiles()
+      assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+    } finally spark.sparkContext.setCheckpointDir(null)
+  }
+
   test("simhash: exact copies collide, near copies are close in hamming") {
     val dir = tmpDir("neardup2")
     fixture
