@@ -95,10 +95,11 @@ object CdcQueries {
 
     // T2 FLATTEN / ExtractNewRecordState: project the payload out of the envelope
     "cdc_flatten_payload" -> ((s, d) =>
-      ev(s, d).select(col("event_id"),
+      ev(s, d).select(col("event_id"), col("props"), col("event_type"))
+        .orderBy("event_id") // before the json extraction — see cdc_roundtrip_avro
+        .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"),
-          col("event_type").as("op_hint"))
-        .orderBy("event_id")),
+          col("event_type").as("op_hint"))),
 
     // N2 keyed MERGE upsert/delete: delta (odd LSNs) applied over snapshot
     // (even LSNs); event_type='error' in the delta acts as the delete op
@@ -290,9 +291,11 @@ object CdcQueries {
       val payload = ev(s, d).select(col("event_id").as("lsn"),
           col("event_type").as("op"),
           get_json_object(col("props"), "$.k").cast("int").as("k"), col("value").as("v"))
-        .orderBy("lsn") // before the codec — see cdc_roundtrip_avro; the
-        // schema-collect pass additionally drops the sort entirely
-        // (EliminateSorts below the distinct aggregate)
+        .orderBy("lsn") // before the codec — see cdc_roundtrip_avro
+        // (a repartitionByRange+sortWithinPartitions spelling that would keep
+        // the schema-collect pass's exchange was tried and measured SLOWER —
+        // the extra shuffle costs more than the collect pass's single-task
+        // encode saves at this scale)
       val pt = StructType(Seq("op", "k", "v").map(payload.schema(_)))
       val wire = graft.formats.WireFormat.encode(payload,
         graft.formats.WireFormat.Json, Seq("op", "k", "v"), 0,
@@ -437,14 +440,15 @@ object CdcQueries {
     // F5 time-pattern path rendering ({YEAR}/{MONTH}/... object naming,
     // deterministic — no UUID, see SURVEY §7.3)
     "cdc_time_path" -> ((s, d) =>
-      ev(s, d).select(col("event_id"),
+      ev(s, d).select(col("event_id"), col("ts"), col("event_type"))
+        .orderBy("event_id") // before the path rendering — see cdc_roundtrip_avro
+        .select(col("event_id"),
           concat(
             year(col("ts")).cast("string"), lit("/"),
             lpad(month(col("ts")).cast("string"), 2, "0"), lit("/"),
             lpad(dayofmonth(col("ts")).cast("string"), 2, "0"), lit("/"),
             lpad(hour(col("ts")).cast("string"), 2, "0"), lit("/"),
-            col("event_type")).as("path"))
-        .orderBy("event_id")),
+            col("event_type")).as("path"))),
 
     // T outbox event router (Debezium EventRouter semantics, the SMT family
     // the reference's transform chain hosts): the events table as an outbox
@@ -452,14 +456,15 @@ object CdcQueries {
     // the key, the payload rides as-is plus one expanded field; rows with a
     // null payload are tombstones and are dropped (route.tombstone=drop)
     "cdc_outbox_route" -> ((s, d) =>
-      ev(s, d).filter(col("props").isNotNull)
+      ev(s, d).filter(col("props").isNotNull) // tombstone drop BEFORE the sort
+        .select(col("event_id"), col("event_type"), col("user_id"), col("props"))
+        .orderBy("event_id") // before the json extraction — see cdc_roundtrip_avro
         .select(
           col("event_id").as("outbox_id"),
           concat(lit("outbox.event."), col("event_type")).as("destination"),
           col("user_id").as("aggregate_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"),
-          col("props").as("payload"))
-        .orderBy("outbox_id")),
+          col("props").as("payload"))),
 
     // transaction-boundary metadata (Debezium transaction topic: BEGIN/END
     // markers with per-tx event counts; the envelope's source.txId is the
